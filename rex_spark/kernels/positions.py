@@ -1,0 +1,66 @@
+"""Position kernels: subsequence search, relative positions, start/end pairing.
+
+Reference parity (re-expressed, not copied):
+- ``find_all_positions``  <- /root/reference/rex/utils/position.py:6-45
+  (behavior pinned by tests/utils/test_position.py:6-22): every
+  occurrence of ``sub`` inside ``long`` as end-exclusive (start, end).
+- ``relative_positions``  <- rex/utils/position.py:48-65.
+- ``pair_start_end``      <- rex/utils/position.py:72-86 (MRC decode,
+  W3): for each start index, the first end index in [start, next_start).
+- ``find_element_in_list``<- rex/utils/position.py:68-69.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple, Union
+
+
+def find_all_positions(
+    long: Union[Sequence[Any], str], sub: Union[Sequence[Any], str]
+) -> List[Tuple[int, int]]:
+    """All end-exclusive (start, end) spans where ``sub`` occurs in ``long``.
+
+    Overlapping matches are all reported (scan advances by 1), matching
+    the reference.  Raises if sub is longer than long or types mismatch.
+    """
+    if isinstance(long, str) != isinstance(sub, str):
+        raise TypeError("long and sub must both be str or both be sequences")
+    n, m = len(long), len(sub)
+    if m > n:
+        raise ValueError("sub length exceeds long length")
+    if m == 0:
+        return []
+    out: List[Tuple[int, int]] = []
+    first = sub[0]
+    for i in range(n - m + 1):
+        if long[i] == first and tuple(long[i : i + m]) == tuple(sub):
+            out.append((i, i + m))
+    return out
+
+
+def relative_positions(pos: int, max_length: int) -> List[int]:
+    """``[abs(i - pos) for i in range(max_length)]`` with bounds check."""
+    if pos < 0 or pos >= max_length:
+        raise ValueError(f"pos {pos} not in [0, {max_length})")
+    return [abs(i - pos) for i in range(max_length)]
+
+
+def find_element_in_list(elements: Sequence[Any], element: Any) -> List[int]:
+    return [i for i, el in enumerate(elements) if el == element]
+
+
+def pair_start_end(
+    start_label: Sequence[int], end_label: Sequence[int]
+) -> List[Tuple[int, int]]:
+    """MRC span decode: for each start position (label==1), pair with the
+    first end position >= start and < the next start position."""
+    starts = [i for i, v in enumerate(start_label) if v == 1]
+    ends = [i for i, v in enumerate(end_label) if v == 1]
+    out: List[Tuple[int, int]] = []
+    for k, s in enumerate(starts):
+        nxt = starts[k + 1] if k + 1 < len(starts) else len(start_label)
+        for e in ends:
+            if s <= e < nxt:
+                out.append((s, e))
+                break
+    return out

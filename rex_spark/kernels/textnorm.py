@@ -1,0 +1,180 @@
+"""Text-plane kernels: boilerplate strip, sentence segmentation, tokenization.
+
+Reference parity:
+- ``sent_seg`` re-expresses the splitting semantics of
+  ``/root/reference/rex/utils/segmentation.py:9-79`` (behavior pinned by
+  ``/root/reference/tests/utils/test_segmentation.py:6-23``): insert a
+  break after every run of sentence-final punctuation (plus trailing
+  quotation marks when ``quotation_seg_mode``), strip each piece, drop
+  empties.  The reference's final filter expression reduces to
+  "keep all non-empty stripped pieces" (its ``len==1 and not punkt``
+  clause is always overridden by the ``or len>0`` arm), and the pinned
+  tests confirm single-punctuation sentences are kept.
+- ``tokenize`` re-expresses the converter tokenizers
+  (``data/NYT10/convert.py:16`` whitespace+lower, ``data/CMED/convert.py:15``
+  per-character for zh).
+- ``html_to_text`` has no reference implementation (REx starts from
+  extracted text); it is *our* pinned deterministic contract for the
+  pages->docs stage (BASELINE.json input_hint: byte-identical
+  extracted text per url).  stdlib-only, version-independent.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import List, Optional, Sequence, Set, Tuple
+
+# ---------------------------------------------------------------------------
+# Boilerplate strip (F12)
+# ---------------------------------------------------------------------------
+
+# Subtrees that never contribute body text on Common-Crawl-style pages.
+_SKIP_SUBTREES = frozenset(
+    {"script", "style", "nav", "header", "footer", "aside", "head",
+     "noscript", "template", "svg", "form", "iframe"}
+)
+# Tags that imply a line boundary around their content.
+_BLOCK_TAGS = frozenset(
+    {"p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
+     "tr", "table", "section", "article", "main", "blockquote", "pre", "hr",
+     "dd", "dt", "figure", "figcaption", "body", "html", "title"}
+)
+
+_WS_RUN = re.compile(r"[ \t\r\f\v\u00a0]+")
+
+
+class _TextExtractor(HTMLParser):
+    """Streaming extractor: collect visible text, block tags break lines."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip_depth = 0
+        self._parts: List[str] = []  # text fragments and "\n" markers
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_SUBTREES:
+            self._skip_depth += 1
+        elif tag in _BLOCK_TAGS and self._skip_depth == 0:
+            self._parts.append("\n")
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_SUBTREES:
+            if self._skip_depth > 0:
+                self._skip_depth -= 1
+        elif tag in _BLOCK_TAGS and self._skip_depth == 0:
+            self._parts.append("\n")
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in _BLOCK_TAGS and self._skip_depth == 0:
+            self._parts.append("\n")
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth == 0 and data:
+            self._parts.append(data)
+
+    def text(self) -> str:
+        lines: List[str] = []
+        buf: List[str] = []
+        for part in self._parts:
+            if part == "\n":
+                line = _WS_RUN.sub(" ", "".join(buf)).strip()
+                if line:
+                    lines.append(line)
+                buf = []
+            else:
+                buf.append(part)
+        line = _WS_RUN.sub(" ", "".join(buf)).strip()
+        if line:
+            lines.append(line)
+        return "\n".join(lines)
+
+
+def html_to_text(html: bytes | str) -> str:
+    """Deterministic boilerplate strip: raw page bytes -> clean text.
+
+    Bytes are decoded as UTF-8 with replacement (deterministic for any
+    input).  Output: visible text with boilerplate subtrees removed,
+    whitespace collapsed, one line per block element.
+    """
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    parser = _TextExtractor()
+    parser.feed(html)
+    parser.close()
+    return parser.text()
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation (P2)
+# ---------------------------------------------------------------------------
+
+_ZH_PUNKT = frozenset({"\u3002", "\uff1f", "\uff01", "\u2026"})  # 。？！…
+_EN_PUNKT = frozenset({".", "?", "!"})
+_TRAILING_QUOTES = "\u2019\u201d`'\""  # ’ ” ` ' "
+
+
+def sent_seg(
+    text: str,
+    special_seg_indicators: Optional[Sequence[Tuple[str, str]]] = None,
+    lang: str = "zh",
+    punctuations: Optional[Set[str]] = None,
+    quotation_seg_mode: bool = True,
+) -> List[str]:
+    """Split text into sentences; zh/en punctuation sets, quotation-aware.
+
+    Matches the reference semantics exactly (see module docstring):
+    every run of sentence-final punctuation (optionally followed by
+    closing quotes) ends a sentence; pieces are stripped; empty pieces
+    are dropped (single stray punctuation pieces ARE kept).
+    """
+    if not isinstance(text, str):
+        raise ValueError(f"sent_seg expects str, got {type(text)}")
+    if not text:
+        return []
+
+    for pat, repl in special_seg_indicators or ():
+        text = re.sub(pat, repl, text)
+
+    punkt = set(_ZH_PUNKT if lang == "zh" else _EN_PUNKT)
+    if punctuations:
+        punkt |= set(punctuations)
+
+    cls = "".join(re.escape(c) for c in sorted(punkt))
+    if quotation_seg_mode:
+        pattern = f"([{cls}]+[{_TRAILING_QUOTES}]*)"
+    else:
+        pattern = f"([{cls}])"
+    marked = re.sub(pattern, "\\1\n", text)
+
+    return [piece.strip() for piece in marked.split("\n") if piece.strip()]
+
+
+# ---------------------------------------------------------------------------
+# Tokenization (P1)
+# ---------------------------------------------------------------------------
+
+def tokenize(text: str, lang: str = "en") -> List[str]:
+    """Whitespace+lowercase tokens for space-delimited languages; one
+    token per character for zh (converter semantics; whitespace scrubbed
+    first as in the CMED converter)."""
+    if lang == "zh":
+        return [ch for ch in text if not ch.isspace()]
+    return text.lower().split()
+
+
+def ngrams(tokens: Sequence[str], n: int) -> List[str]:
+    """Contiguous token n-grams joined by a single space (shingles for
+    MinHash / Jaccard dedup).  len < n -> single shingle of the whole."""
+    if len(tokens) < n:
+        return [" ".join(tokens)] if tokens else []
+    return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+
+
+def char_shingles(text: str, k: int = 3) -> List[str]:
+    """Character k-shingles of a casefolded, whitespace-collapsed string
+    (entity-surface blocking)."""
+    s = _WS_RUN.sub(" ", text.casefold()).strip()
+    if len(s) <= k:
+        return [s] if s else []
+    return [s[i : i + k] for i in range(len(s) - k + 1)]

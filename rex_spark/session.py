@@ -1,0 +1,73 @@
+"""SparkSession factory with scale-oriented defaults.
+
+All entry points (tests, bench, __spark_entry__) go through
+``get_session`` so every run gets the same Arrow/AQE/broadcast
+configuration.  On a real cluster the same settings apply verbatim via
+``spark-submit --conf``; nothing here is local-mode specific except the
+default master.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the 100 TB design point, not just local testing:
+# - AQE on: runtime coalescing of small shuffle partitions and skew-join
+#   splitting (head-entity bags are Zipfian; see operators/canonical.py).
+# - Arrow on with a bounded batch size: every model-scoring UDF receives
+#   pandas batches; 4096 rows keeps per-batch memory bounded even with
+#   long documents.
+# - Broadcast threshold 64 MiB: vocab / rel2id / gazetteer side tables
+#   are always broadcast, never shuffled.
+# - shuffle.partitions is a *floor* for local runs; AQE coalesces down,
+#   and on a cluster you would raise it to ~2-3x total cores.
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+    "spark.driver.host": "127.0.0.1",
+}
+
+
+def get_session(
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    app_name: str = "rex_spark",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, else 32).
+    ``shuffle_partitions`` defaults to the local core count so one
+    shuffle round fills the machine without tiny-partition overhead.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        # local[N] -> N; local[*] / cluster URL -> env cpu count
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        shuffle_partitions = int(inner) if inner.isdigit() else cpus
+
+    builder = SparkSession.builder.master(master).appName(app_name)
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.default.parallelism", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_session() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,118 @@
+"""Kernel tests: deterministic extractor + synthetic corpus invariants."""
+
+from rex_spark.kernels import kb
+from rex_spark.kernels.extractor import (
+    document_triples,
+    extract_document,
+    extract_mentions,
+    extract_sentence,
+)
+from rex_spark.kernels.hashing import (
+    band_keys,
+    hamming64,
+    hash64,
+    minhash_params,
+    minhash_signature,
+    rolling_fingerprint,
+    simhash64,
+)
+from rex_spark.kernels.synth import make_pages
+from rex_spark.kernels.textnorm import html_to_text, tokenize
+
+
+def test_extract_mentions_longest_and_overlap():
+    toks = tokenize("dr alice johnson works for acme corp .")
+    ments = extract_mentions(toks)
+    assert ("dr alice johnson", "PER", 0, 3) in ments
+    assert ("alice johnson", "PER", 1, 3) in ments  # nested mention
+    assert ("acme corp", "ORG", 5, 7) in ments
+
+
+def test_extract_sentence_pattern_and_threshold():
+    toks = tokenize("bob smith works for globex .")
+    triples = extract_sentence(toks)
+    assert [(t[0], t[1], t[2]) for t in triples] == [
+        ("bob smith", "works_for", "globex")
+    ]
+    assert triples[0][7] >= kb.SCORE_THRESHOLD
+    # distractor gap -> no triple
+    assert extract_sentence(tokenize("bob smith met globex .")) == []
+
+
+def test_extract_compound_sentence_two_facts():
+    toks = tokenize("eva green lives in springfield and bob smith lives in gotham city .")
+    keys = {(t[0], t[1], t[2]) for t in extract_sentence(toks)}
+    assert ("eva green", "lives_in", "springfield") in keys
+    assert ("bob smith", "lives_in", "gotham city") in keys
+    assert len(keys) == 2
+
+
+def test_extract_document_zh():
+    text = "翠花在阿里巴巴工作。阿里巴巴位于杭州。"
+    sents = extract_document(text, lang="zh")
+    assert len(sents) == 2
+    keys = {(t[0], t[1], t[2]) for _, _, _, ts in sents for t in ts}
+    assert ("翠 花", "zh_works_for", "阿 里 巴 巴") in keys
+    assert ("阿 里 巴 巴", "zh_located_in", "杭 州") in keys
+
+
+def test_synth_deterministic_and_planted_recoverable():
+    pages1, planted1 = make_pages(40, seed=42)
+    pages2, planted2 = make_pages(40, seed=42)
+    assert [p["html"] for p in pages1] == [p["html"] for p in pages2]
+    assert planted1 == planted2
+    assert len({p["url"] for p in pages1}) == len(pages1)
+
+    # every planted fact must be recovered by the extractor (canonical
+    # level: extractor emits surfaces; map back via the KB alias table)
+    surf2canon = {}
+    for canon, (_t, surfs) in kb.ENTITIES.items():
+        for s in surfs:
+            key = " ".join(s.split()) if not kb._is_zh(s) else " ".join(s)
+            surf2canon[key] = canon
+    extracted = set()
+    for p in pages1:
+        clean = html_to_text(p["html"])
+        for s, r, o in document_triples(clean, p["lang"]):
+            extracted.add((p["url"], surf2canon[s], r, surf2canon[o]))
+    missing = set(planted1) - extracted
+    assert not missing, f"planted facts not recovered: {missing}"
+
+
+def test_synth_has_required_corpus_shapes():
+    pages, _ = make_pages(200, seed=42)
+    langs = {p["lang"] for p in pages}
+    assert "zh" in langs
+    hub_pages = sum(b"acme" in p["html"] for p in pages)
+    assert hub_pages >= 0.15 * len(pages)  # hub skew present
+    zero_entity = sum(
+        not document_triples(html_to_text(p["html"]), p["lang"]) for p in pages
+    )
+    assert zero_entity >= 0.05 * len(pages)
+
+
+def test_hashing_deterministic():
+    assert hash64("abc") == hash64("abc")
+    assert hash64("abc") != hash64("abd")
+    assert hash64("abc", seed=1) != hash64("abc", seed=2)
+    params = minhash_params(32)
+    sig1 = minhash_signature(["a b", "b c", "c d"], params)
+    sig2 = minhash_signature(["a b", "b c", "c d"], params)
+    assert sig1 == sig2 and len(sig1) == 32
+    # similar sets -> mostly equal slots; disjoint sets -> mostly not
+    sig3 = minhash_signature(["a b", "b c", "c e"], params)
+    sig4 = minhash_signature(["x y", "y z"], params)
+    agree_sim = sum(a == b for a, b in zip(sig1, sig3))
+    agree_dis = sum(a == b for a, b in zip(sig1, sig4))
+    assert agree_sim > agree_dis
+    assert len(band_keys(sig1, 8)) == 8
+    assert band_keys(sig1, 8) == band_keys(sig2, 8)
+
+
+def test_simhash_and_fingerprint():
+    a = simhash64("the quick brown fox jumps".split())
+    b = simhash64("the quick brown fox jumped".split())
+    c = simhash64("completely different words here".split())
+    assert hamming64(a, b) < hamming64(a, c)
+    assert rolling_fingerprint(["a", "b"]) != rolling_fingerprint(["b", "a"])
+    assert rolling_fingerprint(["a", "b"]) == rolling_fingerprint(["a", "b"])
