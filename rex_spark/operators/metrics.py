@@ -1,0 +1,116 @@
+"""Distributed metrics: faceted triple P/R/F1 and tagging metrics.
+
+Re-expresses rex/metrics/triple.py:6-43 (A1/A2, set semantics per
+instance, four facets) and rex/metrics/tagging.py (A3 per-type + macro)
+as DataFrame aggregations: the set ops become distinct projections +
+inner/anti joins (J4/U1), the tp/fp/fn accumulation becomes one global
+aggregate, and P/R/F1 is plain column arithmetic with safe division.
+
+Must agree exactly with the in-process kernels.metrics.measure_triple
+(asserted in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _facet_projection(df: DataFrame, facet: str, instance_col: str) -> DataFrame:
+    cols = {
+        "triple": ["subj", "pred", "obj"],
+        "subject": ["subj"],
+        "relation": ["pred"],
+        "object": ["obj"],
+    }[facet]
+    return df.select(instance_col, *cols).distinct()
+
+
+def _safe_div(num, den):
+    return F.when(den == 0, F.lit(0.0)).otherwise(num / den)
+
+
+def triple_prf1(
+    pred: DataFrame, gold: DataFrame, instance_col: str = "url"
+) -> DataFrame:
+    """Faceted P/R/F1 DataFrame: one row per facet.
+
+    pred/gold: (instance_col, subj, pred, obj).  tp per facet = inner
+    join on (instance, projection); fp/fn = anti joins — one pass each,
+    all three reduce to counts (no data movement beyond the join).
+    """
+    out = None
+    for facet in ("triple", "subject", "object", "relation"):
+        p = _facet_projection(pred, facet, instance_col)
+        g = _facet_projection(gold, facet, instance_col)
+        on = [c for c in p.columns]
+        tp = p.join(g, on, "inner").count()
+        fp = p.join(g, on, "left_anti").count()
+        fn = g.join(p, on, "left_anti").count()
+        row = (facet, tp, fp, fn)
+        out = [row] if out is None else out + [row]
+    spark = pred.sparkSession
+    counts = spark.createDataFrame(out, ["facet", "tp", "fp", "fn"])
+    p_col = _safe_div(F.col("tp"), F.col("tp") + F.col("fp"))
+    r_col = _safe_div(F.col("tp"), F.col("tp") + F.col("fn"))
+    counts = counts.withColumn("p", p_col).withColumn("r", r_col)
+    f1 = _safe_div(2 * F.col("p") * F.col("r"), F.col("p") + F.col("r"))
+    return counts.withColumn("f1", f1).select(
+        "facet", "p", "r", "f1", "tp", "fp", "fn"
+    )
+
+
+def triple_prf1_dict(pred: DataFrame, gold: DataFrame, instance_col: str = "url"):
+    """Driver-side dict mirroring kernels.metrics.measure_triple output."""
+    rows = triple_prf1(pred, gold, instance_col).collect()
+    return {
+        r["facet"]: {
+            "p": r["p"], "r": r["r"], "f1": r["f1"],
+            "tp": r["tp"], "fp": r["fp"], "fn": r["fn"],
+        }
+        for r in rows
+    }
+
+
+def tagging_prf1(
+    pred_ents: DataFrame, gold_ents: DataFrame, instance_col: str = "url"
+) -> DataFrame:
+    """A3: per-entity-type P/R/F1 + macro row.
+
+    pred/gold: (instance_col, ent_type, start, end).  Per-type counts
+    via one inner + two anti joins grouped by type; macro = avg of
+    per-type metrics (rex/metrics/tagging.py:18-95).
+    """
+    key = [instance_col, "ent_type", "start", "end"]
+    p = pred_ents.select(*key).distinct()
+    g = gold_ents.select(*key).distinct()
+    tp = p.join(g, key, "inner").groupBy("ent_type").agg(F.count("*").alias("tp"))
+    fp = p.join(g, key, "left_anti").groupBy("ent_type").agg(
+        F.count("*").alias("fp")
+    )
+    fn = g.join(p, key, "left_anti").groupBy("ent_type").agg(
+        F.count("*").alias("fn")
+    )
+    counts = (
+        tp.join(fp, "ent_type", "full")
+        .join(fn, "ent_type", "full")
+        .fillna(0, ["tp", "fp", "fn"])
+    )
+    p_col = _safe_div(F.col("tp"), F.col("tp") + F.col("fp"))
+    r_col = _safe_div(F.col("tp"), F.col("tp") + F.col("fn"))
+    counts = counts.withColumn("p", p_col).withColumn("r", r_col)
+    counts = counts.withColumn(
+        "f1", _safe_div(2 * F.col("p") * F.col("r"), F.col("p") + F.col("r"))
+    )
+    macro = counts.select(
+        F.lit("macro").alias("ent_type"),
+        F.avg("p").alias("p"),
+        F.avg("r").alias("r"),
+        F.avg("f1").alias("f1"),
+        F.sum("tp").alias("tp"),
+        F.sum("fp").alias("fp"),
+        F.sum("fn").alias("fn"),
+    )
+    return counts.select("ent_type", "p", "r", "f1", "tp", "fp", "fn").unionByName(
+        macro
+    )

@@ -1,0 +1,159 @@
+"""End-to-end pipeline contracts (BASELINE.json):
+
+1. clean_text is byte-identical per url to the in-process reference
+   extractor (the F12 invariant);
+2. the distributed triple set matches the in-process reference
+   extractor at P/R >= 0.95 per rex/metrics/triple.py facets (exact
+   match expected: same frozen kernels);
+3. the composable stage path (mentions -> pairs -> score) and the
+   fused path emit identical triple sets;
+4. planted facts are recovered at the canonical-graph level, and
+   surface variants merge (a~b, b~c => one component);
+5. distributed faceted PRF1 agrees with the in-process kernel.
+"""
+
+import pytest
+
+from rex_spark.kernels import kb
+from rex_spark.kernels.extractor import document_triples
+from rex_spark.kernels.metrics import measure_triple
+from rex_spark.kernels.synth import make_pages
+from rex_spark.kernels.textnorm import html_to_text
+from rex_spark.operators.extraction import (
+    candidate_pairs,
+    detect_mentions,
+    document_triple_set,
+    score_pairs,
+)
+from rex_spark.operators.metrics import triple_prf1_dict
+from rex_spark.pipeline import build_pages_df, run_pipeline
+
+N_PAGES = 120
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages_df = build_pages_df(spark, N_PAGES, seed=42)
+    result = run_pipeline(spark, pages_df, store=None, salt_partitions=4)
+    raw_pages, planted = make_pages(N_PAGES, seed=42)
+    return pages_df, result, raw_pages, planted
+
+
+def test_clean_text_byte_identical(corpus):
+    _, result, raw_pages, _ = corpus
+    got = {r["url"]: r["clean_text"] for r in result["docs"].collect()}
+    assert len(got) == N_PAGES
+    for p in raw_pages:
+        expected = html_to_text(p["html"])
+        assert got[p["url"]].encode("utf-8") == expected.encode("utf-8"), p["url"]
+
+
+def test_triples_match_reference_extractor(corpus):
+    _, result, raw_pages, _ = corpus
+    spark_triples = {
+        (r["url"], r["subj"], r["pred"], r["obj"])
+        for r in result["triple_set"].collect()
+    }
+    ref_triples = set()
+    for p in raw_pages:
+        clean = html_to_text(p["html"])
+        for s, r, o in document_triples(clean, p["lang"]):
+            ref_triples.add((p["url"], s, r, o))
+    assert ref_triples, "reference extractor produced no triples"
+    # P/R >= 0.95 required; identical kernels should give exact equality
+    tp = len(spark_triples & ref_triples)
+    precision = tp / len(spark_triples)
+    recall = tp / len(ref_triples)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    assert spark_triples == ref_triples
+
+
+def test_stage_path_equals_fused_path(spark, corpus):
+    _, result, _, _ = corpus
+    mentions = detect_mentions(result["sentences"])
+    pairs = candidate_pairs(mentions)
+    staged = score_pairs(pairs, result["sentences"])
+    staged_set = {
+        (r["url"], r["sent_id"], r["subj"], r["pred"], r["obj"], r["score"])
+        for r in staged.collect()
+    }
+    fused_set = {
+        (r["url"], r["sent_id"], r["subj"], r["pred"], r["obj"], r["score"])
+        for r in result["triples"].collect()
+    }
+    assert staged_set == fused_set
+
+
+def test_planted_facts_in_graph(corpus):
+    _, result, _, planted = corpus
+    entities = result["entities"].collect()
+    edges = result["edges"].collect()
+    surf2canon = {}
+    for canon, (_t, surfs) in kb.ENTITIES.items():
+        for s in surfs:
+            key = " ".join(s.split()) if not kb._is_zh(s) else " ".join(s)
+            surf2canon[key] = canon
+    # entity_id -> KB canonical (via any member surface)
+    ent2canon = {}
+    for e in entities:
+        canons = {surf2canon[s] for s in e["surfaces"] if s in surf2canon}
+        assert len(canons) <= 1, f"over-merged entity: {e['surfaces']} -> {canons}"
+        if canons:
+            ent2canon[e["entity_id"]] = canons.pop()
+    graph_facts = {
+        (ent2canon[r["src"]], r["pred"], ent2canon[r["dst"]])
+        for r in edges
+        if r["src"] in ent2canon and r["dst"] in ent2canon
+    }
+    missing = {(s, r, o) for _u, s, r, o in planted} - graph_facts
+    assert not missing, f"planted facts missing from graph: {missing}"
+
+
+def test_surface_variants_merge_transitively(corpus):
+    _, result, _, _ = corpus
+    entities = {
+        frozenset(e["surfaces"]): e for e in result["entities"].collect()
+    }
+    merged = {}
+    for surfaces, e in entities.items():
+        for s in surfaces:
+            merged[s] = e["entity_id"]
+    # acme variants must share one component wherever they appear
+    acme_ids = {
+        merged[s] for s in ("acme corporation", "acme corp", "the acme company")
+        if s in merged
+    }
+    assert len(acme_ids) == 1
+    # hub support: acme should be among the highest-mention entities
+    top = max(result["entities"].collect(), key=lambda e: e["n_mentions"])
+    assert "acme" in top["canonical"] or top["n_mentions"] > 0
+
+
+def test_distributed_prf1_matches_kernel(spark, corpus):
+    _, result, raw_pages, _ = corpus
+    pred = result["triple_set"]
+    # gold: reference extractor output as a DataFrame
+    gold_rows = []
+    ref_by_url = {}
+    for p in raw_pages:
+        clean = html_to_text(p["html"])
+        ts = document_triples(clean, p["lang"])
+        ref_by_url[p["url"]] = ts
+        gold_rows += [(p["url"], s, r, o) for s, r, o in ts]
+    gold = spark.createDataFrame(gold_rows, ["url", "subj", "pred", "obj"])
+
+    dist = triple_prf1_dict(pred, gold)
+
+    pred_by_url = {}
+    for r in pred.collect():
+        pred_by_url.setdefault(r["url"], []).append((r["subj"], r["pred"], r["obj"]))
+    urls = sorted(set(pred_by_url) | set(ref_by_url))
+    inproc = measure_triple(
+        [pred_by_url.get(u, []) for u in urls],
+        [ref_by_url.get(u, []) for u in urls],
+    )
+    for facet in ("triple", "subject", "object", "relation"):
+        for k in ("tp", "fp", "fn"):
+            assert dist[facet][k] == inproc[facet][k], (facet, k)
+        assert dist[facet]["f1"] == pytest.approx(inproc[facet]["f1"])
+    assert dist["triple"]["f1"] == 1.0
