@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship KG-construction query on synthetic pages +
+                  sf0.001 documents.
+queries()      -> one callable per implemented operator family from
+                  SURVEY.md §2 (+ the training-data-pipeline ops).
+oracle_sql()   -> DuckDB-equivalent SQL for every SQL-expressible query
+                  (same column names; aggregates rounded identically on
+                  both sides so value-hashes match).
+
+Non-SQL-expressible entries (KG pipeline, MinHash/SimHash/LSH, UDF
+feature extraction) intentionally have no oracle -> rows-only check;
+their correctness gates live in tests/ (in-process reference extractor
+parity, exact-vs-probabilistic dedup agreement, brute-force-vs-LSH
+recall).
 """
 
 from __future__ import annotations
@@ -12,27 +20,678 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG construction on the synthetic Common-Crawl-style
+    pages table -> distinct (url, subj, pred, obj) triples."""
+    from rex_spark.pipeline import build_pages_df, run_pipeline
+
+    pages = build_pages_df(spark, 200, seed=42)
+    result = run_pipeline(spark, pages, store=None, salt_partitions=4)
+    return result["triple_set"]
+
+
+# ---------------------------------------------------------------------------
+# relational operator analogs (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def q_agg_pricing(spark, sf):
+    """A1/A2-analog: grouped multi-aggregate over the big fact table."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_lookup(spark, sf):
+    """J2: id-keyed lookup join (orders -> customer dim, broadcastable)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_semi_join(spark, sf):
+    """J5: left-semi (customers having orders), counted per nation."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_anti_join(spark, sf):
+    """U1-adjacent: anti join (customers with no orders)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_pairgen(spark, sf):
+    """J1: candidate-pair generation as a within-group self-pairing
+    (lineitem pairs within an order, ln1 < ln2) — the relational shape
+    of REx's entity-pair generation."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber")
+    a = li.withColumnRenamed("l_linenumber", "ln1")
+    b = li.withColumnRenamed("l_linenumber", "ln2")
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("ln1") < F.col("ln2"))
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def q_bag_one(spark, sf):
+    """A6 ONE: deterministic best-member-per-bag via row_number."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_type"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("best_event"),
+            F.round("value", 4).alias("best_value"),
+        )
+    )
+
+
+def q_bag_attention(spark, sf):
+    """A6 Att: softmax-weighted bag score (stabilized, two sums)."""
+    from rex_spark.operators.bags import bag_attention
+
+    ev = _t(spark, sf, "events").select("user_id", F.col("value").alias("score"))
+    return bag_attention(ev, ["user_id"], "score").select(
+        "user_id", F.round("att_score", 4).alias("att_score"), "bag_size"
+    )
+
+
+def q_window_dedup(spark, sf):
+    """dedup-keep-best window (SURVEY §2.5): best lineitem per order."""
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+def q_topk(spark, sf):
+    """T2/T4: global top-k with deterministic tie-break."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_set_except(spark, sf):
+    """U1: set difference — part brands shipped in 'F' orders but never
+    in 'O' orders."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    p = _t(spark, sf, "part")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        p, li.l_partkey == p.p_partkey
+    )
+    f_brands = base.where(F.col("o_orderstatus") == "F").select("p_brand").distinct()
+    o_brands = base.where(F.col("o_orderstatus") == "O").select("p_brand").distinct()
+    return f_brands.exceptAll(o_brands).select("p_brand")
+
+
+def q_prf1(spark, sf):
+    """A1/A2: tp/fp/fn + P/R/F1 as one aggregation row.  pred = items
+    with discount>=0.05, gold = items with tax>=0.04 (set semantics on
+    (orderkey, partkey, linenumber))."""
+    li = _t(spark, sf, "lineitem")
+    key = ["l_orderkey", "l_partkey", "l_linenumber"]
+    pred = li.where(F.col("l_discount") >= 0.05).select(*key).distinct()
+    gold = li.where(F.col("l_tax") >= 0.04).select(*key).distinct()
+    tp = pred.join(gold, key, "inner").count()
+    fp = pred.join(gold, key, "left_anti").count()
+    fn = gold.join(pred, key, "left_anti").count()
+    p = tp / (tp + fp) if tp + fp else 0.0
+    r = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return spark.createDataFrame(
+        [(tp, fp, fn, round(p, 6), round(r, 6), round(f1, 6))],
+        ["tp", "fp", "fn", "p", "r", "f1"],
+    )
+
+
+def q_accuracy(spark, sf):
+    """A5: fraction-equal between a predicted and a gold label column."""
+    o = _t(spark, sf, "orders")
+    eq = (F.col("o_orderstatus") == "F") == (F.col("o_totalprice") < 150000)
+    return o.select(
+        F.round(F.avg(eq.cast("double")), 6).alias("accuracy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_vocab(spark, sf):
+    """A7: vocab building — distinct tokens per language."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    return (
+        d.select("lang", F.explode(toks).alias("token"))
+        .groupBy("lang")
+        .agg(F.countDistinct("token").alias("vocab_size"))
+    )
+
+
+def q_label_count(spark, sf):
+    """A8: label-frequency count."""
+    return _t(spark, sf, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_threshold_fanout(spark, sf):
+    """S9: one scan, several threshold-filtered counts."""
+    ev = _t(spark, sf, "events").select("value").cache()
+    rows = []
+    for t in (10.0, 50.0, 90.0):
+        rows.append((t, ev.where(F.col("value") > t).count()))
+    ev.unpersist()
+    return spark.createDataFrame(rows, ["threshold", "n_kept"])
+
+
+def q_windowed_avg(spark, sf):
+    """W5: strided/rolling window over an ordered sequence."""
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "event_id", F.round(F.avg("value").over(w), 4).alias("rolling_avg")
+    )
+
+
+def q_split_portion(spark, sf):
+    """T6: deterministic ratio split (hash-free: modulo on the key)."""
+    ev = _t(spark, sf, "events")
+    bucket = F.when(F.pmod("event_id", F.lit(10)) < 8, "train").otherwise("test")
+    return ev.groupBy(bucket.alias("split")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_json_props(spark, sf):
+    """F11: JSON field extraction + aggregate."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(F.sum(k).alias("sum_k"))
+
+
+def q_month_orders(spark, sf):
+    """date bucketing (warc_ts-partitioning analog)."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf):
+    from rex_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+def q_ngram_jaccard(spark, sf):
+    from rex_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, threshold=0.5)
+
+
+def q_minhash_lsh(spark, sf):
+    from rex_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), n=3, threshold=0.5)
+
+
+def q_simhash(spark, sf):
+    from rex_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf, "documents"), max_hamming=3)
+
+
+def q_embedding_neardup(spark, sf):
+    from rex_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.9)
+
+
+def q_cosine_topk(spark, sf):
+    from rex_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_t(spark, sf, "embeddings"), query_ids=list(range(10)), k=5)
+
+
+def q_lsh_ann_topk(spark, sf):
+    from rex_spark.operators.similarity import lsh_ann_topk
+
+    return lsh_ann_topk(
+        _t(spark, sf, "embeddings"), query_ids=list(range(10)), k=5
+    )
+
+
+def q_doc_stats(spark, sf):
+    from rex_spark.operators.textstats import doc_stats
+
+    return doc_stats(_t(spark, sf, "documents"))
+
+
+def q_lang_id(spark, sf):
+    from rex_spark.operators.textstats import lang_id
+
+    return lang_id(_t(spark, sf, "documents"))
+
+
+def q_token_counts(spark, sf):
+    from rex_spark.operators.textstats import token_counts
+
+    return token_counts(_t(spark, sf, "documents"))
+
+
+def q_fingerprints(spark, sf):
+    from rex_spark.operators.textstats import fingerprints
+
+    return fingerprints(_t(spark, sf, "documents")).select("doc_id", "fp_md5")
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline ops (synthetic pages; no SQL oracle -> rows-only checks,
+# correctness gated by tests/test_pipeline_e2e.py)
+# ---------------------------------------------------------------------------
+
+def q_kg_triples(spark, sf):
+    from rex_spark.pipeline import build_pages_df, run_pipeline
+
+    pages = build_pages_df(spark, 200, seed=42)
+    return run_pipeline(spark, pages, store=None)["triple_set"]
+
+
+def q_kg_entities(spark, sf):
+    from rex_spark.pipeline import build_pages_df, run_pipeline
+
+    pages = build_pages_df(spark, 200, seed=42)
+    ents = run_pipeline(spark, pages, store=None)["entities"]
+    return ents.select(
+        "canonical", F.size("surfaces").alias("n_surfaces"), "n_mentions"
+    )
+
+
+def q_kg_edges(spark, sf):
+    from rex_spark.pipeline import build_pages_df, run_pipeline
+
+    pages = build_pages_df(spark, 200, seed=42)
+    r = run_pipeline(spark, pages, store=None, salt_partitions=8)
+    return r["edges"].select("pred", "support")
+
+
+def q_asset_features(spark, sf):
+    from rex_spark.operators.multimodal import extract_features, make_assets
+
+    return extract_features(make_assets(spark, 120)).select(
+        "asset_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 4).alias("f0")
+    )
+
+
+def q_asset_stats(spark, sf):
+    from rex_spark.operators.multimodal import make_assets, asset_stats
+
+    return asset_stats(make_assets(spark, 120))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "agg_pricing": q_agg_pricing,
+        "join_lookup": q_join_lookup,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "pairgen": q_pairgen,
+        "bag_one": q_bag_one,
+        "bag_attention": q_bag_attention,
+        "window_dedup": q_window_dedup,
+        "topk": q_topk,
+        "set_except": q_set_except,
+        "prf1": q_prf1,
+        "accuracy": q_accuracy,
+        "vocab": q_vocab,
+        "label_count": q_label_count,
+        "threshold_fanout": q_threshold_fanout,
+        "windowed_avg": q_windowed_avg,
+        "split_portion": q_split_portion,
+        "json_props": q_json_props,
+        "month_orders": q_month_orders,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "embedding_neardup": q_embedding_neardup,
+        "cosine_topk": q_cosine_topk,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "doc_stats": q_doc_stats,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "kg_triples": q_kg_triples,
+        "kg_entities": q_kg_entities,
+        "kg_edges": q_kg_edges,
+        "asset_features": q_asset_features,
+        "asset_stats": q_asset_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+# distinct 3-gram shingles of the normalized token list (len<3 -> whole text)
+_SHINGLES = (
+    "list_distinct(CASE WHEN len(t) >= 3 "
+    "THEN list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')) "
+    "ELSE [array_to_string(t, ' ')] END)"
+)
+
+_STOPWORDS_SQL = (
+    "['a','and','das','der','die','el','es','est','et','is','la','las',"
+    "'le','les','los','nicht','of','the','to','una','und','une','y','ist']"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "join_lookup": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "semi_join": """
+            SELECT c_nationkey, count(*) AS n_customers FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY 1
+        """,
+        "anti_join": """
+            SELECT c_mktsegment, count(*) AS n_customers FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY 1
+        """,
+        "pairgen": """
+            SELECT a.l_orderkey, count(*) AS n_pairs
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+            GROUP BY 1
+        """,
+        "bag_one": """
+            SELECT user_id, event_type AS best_event,
+                   round(value, 4) AS best_value
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY value DESC, event_type ASC, event_id ASC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "bag_attention": """
+            SELECT user_id,
+                   round(sum(exp(value - mx) * value) / sum(exp(value - mx)), 4)
+                     AS att_score,
+                   count(*) AS bag_size
+            FROM (SELECT user_id, value,
+                         max(value) OVER (PARTITION BY user_id) AS mx
+                  FROM events)
+            GROUP BY user_id
+        """,
+        "window_dedup": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY l_orderkey
+                    ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+                  FROM lineitem)
+            WHERE rn = 1
+        """,
+        "topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "set_except": """
+            SELECT p_brand FROM (
+              SELECT DISTINCT p_brand
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                            JOIN part ON l_partkey = p_partkey
+              WHERE o_orderstatus = 'F'
+              EXCEPT
+              SELECT DISTINCT p_brand
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                            JOIN part ON l_partkey = p_partkey
+              WHERE o_orderstatus = 'O')
+        """,
+        "prf1": """
+            WITH pred AS (SELECT DISTINCT l_orderkey, l_partkey, l_linenumber
+                          FROM lineitem WHERE l_discount >= 0.05),
+                 gold AS (SELECT DISTINCT l_orderkey, l_partkey, l_linenumber
+                          FROM lineitem WHERE l_tax >= 0.04),
+                 s AS (SELECT
+                   (SELECT count(*) FROM pred WHERE EXISTS (SELECT 1 FROM gold
+                     WHERE gold.l_orderkey = pred.l_orderkey
+                       AND gold.l_partkey = pred.l_partkey
+                       AND gold.l_linenumber = pred.l_linenumber)) AS tp,
+                   (SELECT count(*) FROM pred WHERE NOT EXISTS (SELECT 1 FROM gold
+                     WHERE gold.l_orderkey = pred.l_orderkey
+                       AND gold.l_partkey = pred.l_partkey
+                       AND gold.l_linenumber = pred.l_linenumber)) AS fp,
+                   (SELECT count(*) FROM gold WHERE NOT EXISTS (SELECT 1 FROM pred
+                     WHERE gold.l_orderkey = pred.l_orderkey
+                       AND gold.l_partkey = pred.l_partkey
+                       AND gold.l_linenumber = pred.l_linenumber)) AS fn)
+            SELECT tp, fp, fn,
+                   round(CASE WHEN tp+fp = 0 THEN 0.0 ELSE tp*1.0/(tp+fp) END, 6) AS p,
+                   round(CASE WHEN tp+fn = 0 THEN 0.0 ELSE tp*1.0/(tp+fn) END, 6) AS r,
+                   round(CASE WHEN (CASE WHEN tp+fp=0 THEN 0.0 ELSE tp*1.0/(tp+fp) END)
+                            + (CASE WHEN tp+fn=0 THEN 0.0 ELSE tp*1.0/(tp+fn) END) = 0
+                         THEN 0.0
+                         ELSE 2.0 * (CASE WHEN tp+fp=0 THEN 0.0 ELSE tp*1.0/(tp+fp) END)
+                                  * (CASE WHEN tp+fn=0 THEN 0.0 ELSE tp*1.0/(tp+fn) END)
+                              / ((CASE WHEN tp+fp=0 THEN 0.0 ELSE tp*1.0/(tp+fp) END)
+                               + (CASE WHEN tp+fn=0 THEN 0.0 ELSE tp*1.0/(tp+fn) END))
+                         END, 6) AS f1
+            FROM s
+        """,
+        "accuracy": """
+            SELECT round(avg(CASE WHEN (o_orderstatus = 'F') = (o_totalprice < 150000)
+                                  THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+                   count(*) AS n
+            FROM orders
+        """,
+        "vocab": f"""
+            SELECT lang, count(DISTINCT token) AS vocab_size
+            FROM (SELECT lang, unnest({_TOKS}) AS token FROM documents)
+            GROUP BY 1
+        """,
+        "label_count": "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+        "threshold_fanout": """
+            SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+                   (SELECT count(*) FROM events WHERE value > t.threshold) AS n_kept
+            FROM (VALUES (10.0), (50.0), (90.0)) AS t(threshold)
+        """,
+        "windowed_avg": """
+            SELECT event_id,
+                   round(avg(value) OVER (
+                     PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS rolling_avg
+            FROM events
+        """,
+        "split_portion": """
+            SELECT CASE WHEN event_id % 10 < 8 THEN 'train' ELSE 'test' END AS split,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "json_props": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k
+            FROM events GROUP BY 1
+        """,
+        "month_orders": """
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        """,
+        "exact_dedup": f"""
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   count(*) AS dup_count
+            FROM (SELECT doc_id, {_NORM} AS norm FROM documents)
+            GROUP BY norm
+        """,
+        "ngram_jaccard": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+                 sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM toks),
+                 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+                 common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+                            FROM sh x JOIN sh y USING (shingle)
+                            WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+            SELECT a, b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+            FROM common JOIN sizes sa ON sa.doc_id = a
+                        JOIN sizes sb ON sb.doc_id = b
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+        """,
+        "embedding_neardup": """
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(CAST(list_cosine_similarity(
+                     CAST(x.embedding AS DOUBLE[]),
+                     CAST(y.embedding AS DOUBLE[])) AS DOUBLE), 6) AS cosine
+            FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                         CAST(y.embedding AS DOUBLE[])) >= 0.9
+        """,
+        "cosine_topk": """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     round(CAST(list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(e.embedding AS DOUBLE[])) AS DOUBLE), 6) AS cosine
+              FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
+              WHERE q.vec_id < 10)
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        "doc_stats": f"""
+            WITH base AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+                 feat AS (SELECT doc_id,
+                   len(t) AS n_tokens,
+                   length(text) AS n_chars_txt,
+                   len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x)))
+                     AS stop_hits,
+                   length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                     AS punct
+                 FROM base)
+            SELECT doc_id, n_tokens, n_chars_txt,
+                   round(CASE WHEN n_tokens > 0
+                         THEN n_chars_txt * 1.0 / n_tokens ELSE 0.0 END, 4)
+                     AS avg_token_len,
+                   round(CASE WHEN n_tokens > 0
+                         THEN stop_hits * 1.0 / n_tokens ELSE 0.0 END, 4)
+                     AS stopword_ratio,
+                   round(CASE WHEN n_chars_txt > 0
+                         THEN punct * 1.0 / n_chars_txt ELSE 0.0 END, 4)
+                     AS punct_ratio,
+                   round(
+                     least(n_tokens / 20.0, 1.0) * 0.4
+                     + least((CASE WHEN n_tokens > 0
+                              THEN stop_hits * 1.0 / n_tokens ELSE 0.0 END) * 5,
+                             1.0) * 0.4
+                     + (1 - least((CASE WHEN n_chars_txt > 0
+                                   THEN punct * 1.0 / n_chars_txt ELSE 0.0 END) * 10,
+                                  1.0)) * 0.2, 4) AS quality_score
+            FROM feat
+        """,
+        "lang_id": f"""
+            WITH s AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+                 scored AS (SELECT doc_id, lang,
+                   len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS s_de,
+                   len(list_filter(t, x -> list_contains(['the','and','of','is','to','a'], x))) AS s_en,
+                   len(list_filter(t, x -> list_contains(['el','los','las','es','una','y'], x))) AS s_es,
+                   len(list_filter(t, x -> list_contains(['le','la','les','et','est','une'], x))) AS s_fr
+                 FROM s)
+            SELECT doc_id, lang,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                        ELSE 'fr' END AS pred_lang,
+                   greatest(s_de, s_en, s_es, s_fr) AS marker_hits
+            FROM scored
+        """,
+        "token_counts": f"""
+            SELECT doc_id, len({_TOKS}) AS ws_tokens,
+                   len(regexp_extract_all(lower(text),
+                       '[a-z0-9]+(''[a-z]+)?')) AS word_pieces
+            FROM documents
+        """,
+        "fingerprints": f"SELECT doc_id, md5({_NORM}) AS fp_md5 FROM documents",
+        # no oracle entries (rows-only driver check, gated by tests/):
+        # minhash_lsh, simhash, lsh_ann_topk, kg_triples, kg_entities,
+        # kg_edges, asset_features, asset_stats
+    }
