@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default mode: runs the headline queries at ``$SPARK_GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and
+prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of the headline queries; extra keys
+report the north-rule throughput (triples/sec of the KG pipeline).
+
+``--scale`` mode: runs the SAME KG-construction job on the SAME input at
+two parallelism levels (local[8] vs local[32] — the sandbox stand-in for
+N vs 4N executors per the driver instruction) and prints throughput at
+both plus scaling efficiency = (t_N / t_4N) / 4.  Results are also
+appended to BASELINE.md by ``--scale --update-baseline``.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side collect of big results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# pages synthesized for the KG-pipeline benchmark (deterministic, seed=42)
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000"))
+
+# headline subset of __spark_entry__.queries(): the KG flagship plus one
+# representative per operator family (agg / join / pairgen / window /
+# dedup-exact / dedup-minhash / ANN / text-stats).
+HEADLINE = [
+    "agg_pricing",
+    "join_lookup",
+    "pairgen",
+    "window_dedup",
+    "exact_dedup",
+    "minhash_lsh",
+    "cosine_topk",
+    "doc_stats",
+    "token_counts",
+]
+
+
+def _force(df) -> int:
+    """Force full computation; return row count (noop write + count)."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def _run_kg(spark, n_pages: int) -> tuple[float, int]:
+    """Run the full KG pipeline on a fresh synthetic corpus; returns
+    (seconds, n_triples)."""
+    from rex_spark.pipeline import build_pages_df, run_pipeline
+
+    pages = build_pages_df(spark, n_pages, seed=42)
+    pages = pages.repartition(spark.sparkContext.defaultParallelism).cache()
+    pages.count()  # materialize input outside the timed region
+    t0 = time.perf_counter()
+    result = run_pipeline(spark, pages, store=None, salt_partitions=8)
+    n_triples = result["triple_set"].count()
+    _force(result["entities"])
+    _force(result["edges"])
+    elapsed = time.perf_counter() - t0
+    pages.unpersist()
+    return elapsed, n_triples
+
+
+def bench_once() -> dict:
+    from rex_spark.session import get_session
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_session(master=f"local[{CPUS}]", app_name="rex_spark_bench")
+    qmap = entry_mod.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM / Arrow path once so the first timed query is not
+    # paying one-time init costs.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    kg_sec, n_triples = _run_kg(spark, N_PAGES)
+    timings["kg_pipeline"] = round(kg_sec, 3)
+
+    for name in HEADLINE:
+        fn = qmap[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = 0.1
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        pass
+    return {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "kg_pages": N_PAGES,
+        "kg_triples": n_triples,
+        "triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec else None,
+        "pages_per_sec": round(N_PAGES / kg_sec, 1) if kg_sec else None,
+        "cpus": CPUS,
+    }
+
+
+def bench_scale(n_pages: int, update_baseline: bool = False) -> dict:
+    """Same job, same input, local[8] vs local[32] (N vs 4N)."""
+    from rex_spark.session import get_session, stop_session
+
+    runs = {}
+    for cores in (8, 32):
+        stop_session()
+        spark = get_session(
+            master=f"local[{cores}]",
+            shuffle_partitions=cores,
+            app_name=f"rex_spark_scale_{cores}",
+        )
+        spark.range(1000).selectExpr("sum(id)").collect()  # warm-up
+        # warm run (JVM/codegen), then the timed run
+        _run_kg(spark, max(200, n_pages // 10))
+        sec, n_triples = _run_kg(spark, n_pages)
+        runs[cores] = {
+            "cores": cores,
+            "sec": round(sec, 3),
+            "triples": n_triples,
+            "triples_per_sec": round(n_triples / sec, 1),
+        }
+        spark.stop()
+    eff = (runs[8]["sec"] / runs[32]["sec"]) / 4.0
+    out = {
+        "metric": "kg_scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_pages": n_pages,
+        "runs": runs,
+        "target": 0.8,
+    }
+    if update_baseline:
+        _append_baseline(out)
+    return out
+
+
+def _append_baseline(out: dict) -> None:
+    lines = [
+        "",
+        "## Measured scaling (bench.py --scale)",
+        "",
+        f"Same KG-construction job, same {out['n_pages']}-page synthetic input,",
+        "run at two parallelism levels (sandbox stand-in for N vs 4N executors):",
+        "",
+        "| cores | wall (s) | triples | triples/sec |",
+        "|---|---|---|---|",
+    ]
+    for c in (8, 32):
+        r = out["runs"][c]
+        lines.append(
+            f"| local[{c}] | {r['sec']} | {r['triples']} | {r['triples_per_sec']} |"
+        )
+    lines += [
+        "",
+        f"**Scaling efficiency 8→32 cores: {out['value']}** "
+        f"(target ≥ {out['target']}; efficiency = (t_8 / t_32) / 4).",
+        "",
+    ]
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    with open(path) as f:
+        text = f.read()
+    marker = "## Measured scaling (bench.py --scale)"
+    if marker in text:
+        text = text[: text.index(marker)].rstrip() + "\n"
+    with open(path, "w") as f:
+        f.write(text + "\n".join(lines))
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scale" in sys.argv:
+        out = bench_scale(
+            N_PAGES, update_baseline="--update-baseline" in sys.argv
+        )
+    else:
+        out = bench_once()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
