@@ -221,6 +221,18 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return relinked
 
 
+def _edge_digest(edges: DataFrame) -> Tuple[int, int]:
+    """(row count, order-independent hash-xor) of the canonical edge set
+    — one cheap aggregation job, computed on the already-checkpointed
+    iteration output so nothing upstream re-runs.  bit_xor is overflow-
+    free under ANSI mode, unlike a hash sum."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
 def connected_components(
     edges: DataFrame, max_iterations: int = 12
 ) -> Tuple[DataFrame, int]:
@@ -229,7 +241,12 @@ def connected_components(
 
     Each round materializes via localCheckpoint: cuts the join-loop
     lineage (REx's pickle-cache analog for iterative state) and gives
-    the optimizer fresh statistics per round.
+    the optimizer fresh statistics per round.  Convergence is detected
+    by an order-independent (count, hash-sum) digest of the edge set —
+    a single aggregation per round instead of two exceptAll jobs; a
+    digest collision (astronomically unlikely with xxhash64) could only
+    stop one round early, never corrupt labels, because a stable star
+    forest maps to itself under further rounds.
     """
     cur = (
         edges.select(
@@ -239,18 +256,16 @@ def connected_components(
         .dropDuplicates(["a", "b"])
         .localCheckpoint()
     )
+    prev_digest = _edge_digest(cur)
     iterations = 0
     for _ in range(max_iterations):
         iterations += 1
         stepped = _small_star(_large_star(cur)).localCheckpoint()
-        # convergence: identical canonical edge sets
-        changed = (
-            stepped.select("a", "b").exceptAll(cur.select("a", "b")).limit(1).count()
-            + cur.select("a", "b").exceptAll(stepped.select("a", "b")).limit(1).count()
-        )
+        digest = _edge_digest(stepped)
         cur = stepped
-        if changed == 0:
+        if digest == prev_digest:
             break
+        prev_digest = digest
     # stable state is a star forest: b is the component min for every a
     membership = cur.select(
         F.col("a").alias("node_id"), F.col("b").alias("component")
@@ -269,7 +284,11 @@ def canonicalize_surfaces(spark, mentions: DataFrame) -> DataFrame:
     """mentions -> labeled surface table (surface, freq, node_id,
     entity_id): the checkpointable output of the canonicalization
     stage, consumed by both the entity and edge materializers."""
-    nodes = surface_nodes(mentions)
+    from pyspark import StorageLevel
+
+    # nodes feeds three edge sources plus the final label join: persist
+    # so the mention scan + surface groupBy runs once, not four times.
+    nodes = surface_nodes(mentions).persist(StorageLevel.MEMORY_AND_DISK)
     comp, _iters = connected_components(similarity_edges(spark, nodes))
     return (
         nodes.join(comp, "node_id", "left")

@@ -63,20 +63,30 @@ def run_pipeline(
     """Run (or resume) the full pipeline; returns all stage DataFrames.
 
     With a StageStore, every stage is compute-or-load and appends
-    per-partition lineage rows; without one, the chain stays lazy.
+    per-partition lineage rows.  Without one, stages that fan out to
+    multiple consumers (sentences -> triples+mentions; triples ->
+    edges+triple_set) are persisted MEMORY_AND_DISK so forcing the
+    pipeline's several outputs does not recompute the text plane once
+    per output — the in-memory analog of the stage checkpoints.
     """
+    from pyspark import StorageLevel
 
-    def stage(name: str, fn, partition_by=None) -> DataFrame:
+    def stage(name: str, fn, partition_by=None, persist: bool = False) -> DataFrame:
         if store is None:
-            return fn()
+            df = fn()
+            if persist:
+                df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            return df
         return store.run(name, fn, partition_by=partition_by)
 
     docs = stage("docs", lambda: clean_pages(pages))
-    sentences = stage("sentences", lambda: segment_sentences(docs))
-    triples = stage("triples", lambda: extract_triples_fused(sentences))
+    sentences = stage("sentences", lambda: segment_sentences(docs), persist=True)
+    triples = stage("triples", lambda: extract_triples_fused(sentences), persist=True)
     mentions = stage("mentions", lambda: detect_mentions(sentences))
 
-    labeled = stage("surfaces", lambda: canonicalize_surfaces(spark, mentions))
+    labeled = stage(
+        "surfaces", lambda: canonicalize_surfaces(spark, mentions), persist=True
+    )
     entities = stage("entities", lambda: entities_from_labeled(labeled))
     edges = stage(
         "edges",
