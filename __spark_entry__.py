@@ -321,6 +321,44 @@ def q_lsh_ann_topk(spark, sf):
     )
 
 
+def q_ner_decode_sql(spark, sf):
+    """W1 relational decode: BIO runs via posexplode + window lag."""
+    from rex_spark.operators.ner import flag_spans
+
+    return flag_spans(_t(spark, sf, "documents"), min_len=6, via="sql").select(
+        "doc_id",
+        "ent_type",
+        F.col("start").cast("long").alias("start_pos"),
+        F.col("end").cast("long").alias("end_pos"),
+        "surface",
+    )
+
+
+def q_ner_decode_udf(spark, sf):
+    """W1 pUDF decode: pinned BIO/BMES kernel over (tokens, tags) rows
+    — same semantics as the SQL path, checked against the same oracle."""
+    from rex_spark.operators.ner import flag_spans
+
+    return flag_spans(_t(spark, sf, "documents"), min_len=6, via="udf").select(
+        "doc_id",
+        "ent_type",
+        F.col("start").cast("long").alias("start_pos"),
+        F.col("end").cast("long").alias("end_pos"),
+        "surface",
+    )
+
+
+def q_bag_grouped(spark, sf):
+    """M2 GROUPED_MAP surface: applyInPandas bag scorer (same result
+    as bag_attention, checked against the same SQL oracle)."""
+    from rex_spark.operators.bags import bag_score_grouped
+
+    ev = _t(spark, sf, "events").select("user_id", F.col("value").alias("score"))
+    return bag_score_grouped(ev, ["user_id"], "score").select(
+        "user_id", F.round("att_score", 4).alias("att_score"), "bag_size"
+    )
+
+
 def q_doc_stats(spark, sf):
     from rex_spark.operators.textstats import doc_stats
 
@@ -417,6 +455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ner_decode_sql": q_ner_decode_sql,
+        "ner_decode_udf": q_ner_decode_udf,
+        "bag_grouped": q_bag_grouped,
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
@@ -636,6 +677,58 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "ner_decode_sql": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+                 pos AS (SELECT doc_id, unnest(t) AS token,
+                                unnest(range(len(t))) AS pos
+                         FROM toks),
+                 flags AS (SELECT doc_id, pos, token,
+                                  length(token) >= 6 AS f,
+                                  coalesce(lag(length(token) >= 6) OVER (
+                                    PARTITION BY doc_id ORDER BY pos), false) AS pf
+                           FROM pos),
+                 runs AS (SELECT doc_id, pos, token, f,
+                                 sum(CASE WHEN f AND NOT pf THEN 1 ELSE 0 END)
+                                   OVER (PARTITION BY doc_id ORDER BY pos
+                                         ROWS UNBOUNDED PRECEDING) AS run_id
+                          FROM flags)
+            SELECT doc_id, 'ENT' AS ent_type,
+                   min(pos) AS start_pos, max(pos) + 1 AS end_pos,
+                   string_agg(token, ' ' ORDER BY pos) AS surface
+            FROM runs WHERE f
+            GROUP BY doc_id, run_id
+        """,
+        "ner_decode_udf": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+                 pos AS (SELECT doc_id, unnest(t) AS token,
+                                unnest(range(len(t))) AS pos
+                         FROM toks),
+                 flags AS (SELECT doc_id, pos, token,
+                                  length(token) >= 6 AS f,
+                                  coalesce(lag(length(token) >= 6) OVER (
+                                    PARTITION BY doc_id ORDER BY pos), false) AS pf
+                           FROM pos),
+                 runs AS (SELECT doc_id, pos, token, f,
+                                 sum(CASE WHEN f AND NOT pf THEN 1 ELSE 0 END)
+                                   OVER (PARTITION BY doc_id ORDER BY pos
+                                         ROWS UNBOUNDED PRECEDING) AS run_id
+                          FROM flags)
+            SELECT doc_id, 'ENT' AS ent_type,
+                   min(pos) AS start_pos, max(pos) + 1 AS end_pos,
+                   string_agg(token, ' ' ORDER BY pos) AS surface
+            FROM runs WHERE f
+            GROUP BY doc_id, run_id
+        """,
+        "bag_grouped": """
+            SELECT user_id,
+                   round(sum(exp(value - mx) * value) / sum(exp(value - mx)), 4)
+                     AS att_score,
+                   count(*) AS bag_size
+            FROM (SELECT user_id, value,
+                         max(value) OVER (PARTITION BY user_id) AS mx
+                  FROM events)
+            GROUP BY user_id
         """,
         "doc_stats": f"""
             WITH base AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),

@@ -31,6 +31,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # pages synthesized for the KG-pipeline benchmark (deterministic, seed=42)
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000"))
+# the scaling run needs a compute-dominated input: small corpora measure
+# scheduler overhead, not scaling (56 core-seconds of work cannot show
+# a 4x speedup on a job with ~5s of fixed per-run cost)
+SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "400000"))
 
 # headline subset of __spark_entry__.queries(): the KG flagship plus one
 # representative per operator family (agg / join / pairgen / window /
@@ -56,11 +60,19 @@ def _force(df) -> int:
 
 def _run_kg(spark, n_pages: int) -> tuple[float, int]:
     """Run the full KG pipeline on a fresh synthetic corpus; returns
-    (seconds, n_triples)."""
-    from rex_spark.pipeline import build_pages_df, run_pipeline
+    (seconds, n_triples).  Synthesis is distributed (executor-side) and
+    cached outside the timed region."""
+    from rex_spark.pipeline import build_pages_df_distributed, run_pipeline
 
-    pages = build_pages_df(spark, n_pages, seed=42)
-    pages = pages.repartition(spark.sparkContext.defaultParallelism).cache()
+    # fresh measurement: Spark's cache manager matches plans across
+    # DataFrame objects, so without this a repeat run of the identical
+    # pipeline silently serves every stage from the previous run's
+    # persisted data
+    spark.catalog.clearCache()
+    # 2x cores: enough task waves to overlap the JVM Arrow feed with
+    # Python UDF compute and to smooth stragglers
+    parts = 2 * spark.sparkContext.defaultParallelism
+    pages = build_pages_df_distributed(spark, n_pages, seed=42, partitions=parts).cache()
     pages.count()  # materialize input outside the timed region
     t0 = time.perf_counter()
     result = run_pipeline(spark, pages, store=None, salt_partitions=8)
@@ -115,7 +127,14 @@ def bench_once() -> dict:
 
 
 def bench_scale(n_pages: int, update_baseline: bool = False) -> dict:
-    """Same job, same input, local[8] vs local[32] (N vs 4N)."""
+    """Same job, same input, local[8] vs local[32] (N vs 4N).
+
+    Median of 3 timed runs per parallelism level: the sandbox VM's GC
+    and scheduling noise produce occasional 2x outliers that would
+    otherwise dominate a single-shot measurement.
+    """
+    import statistics
+
     from rex_spark.session import get_session, stop_session
 
     runs = {}
@@ -127,12 +146,16 @@ def bench_scale(n_pages: int, update_baseline: bool = False) -> dict:
             app_name=f"rex_spark_scale_{cores}",
         )
         spark.range(1000).selectExpr("sum(id)").collect()  # warm-up
-        # warm run (JVM/codegen), then the timed run
-        _run_kg(spark, max(200, n_pages // 10))
-        sec, n_triples = _run_kg(spark, n_pages)
+        _run_kg(spark, max(200, n_pages // 10))  # warm run (JVM/codegen)
+        times, n_triples = [], 0
+        for _ in range(3):
+            sec, n_triples = _run_kg(spark, n_pages)
+            times.append(sec)
+        sec = statistics.median(times)
         runs[cores] = {
             "cores": cores,
             "sec": round(sec, 3),
+            "all_runs_sec": [round(t, 3) for t in times],
             "triples": n_triples,
             "triples_per_sec": round(n_triples / sec, 1),
         }
@@ -187,7 +210,7 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scale" in sys.argv:
         out = bench_scale(
-            N_PAGES, update_baseline="--update-baseline" in sys.argv
+            SCALE_PAGES, update_baseline="--update-baseline" in sys.argv
         )
     else:
         out = bench_once()

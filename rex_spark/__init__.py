@@ -19,6 +19,8 @@ Layout
   the kernels and on built-in pyspark.sql functions.
 - ``rex_spark.io``         sources/sinks + the resumable StageStore.
 - ``rex_spark.pipeline``   end-to-end KG construction DAG.
+- ``rex_spark.streaming``  optional incremental ingest (Structured
+  Streaming ``foreachBatch`` over the same batch operators).
 """
 
 __version__ = "0.1.0"

@@ -136,10 +136,84 @@ def _render_html(title: str, paragraphs: List[str]) -> bytes:
     return html.encode("utf-8")
 
 
+def make_page(
+    i: int, seed: int = 42
+) -> Tuple[PageRow, List[Tuple[str, str, str, str]]]:
+    """Build page ``i`` of the corpus, independently of every other page.
+
+    Per-page determinism (rng seeded from (seed, i) only) is what lets
+    the corpus be synthesized *distributed* — executors generate
+    disjoint id ranges with zero coordination — while staying byte-
+    identical to the driver-side loop in :func:`make_pages`.
+    """
+    rng = random.Random((seed << 32) ^ i)
+    url = f"https://site{rng.randint(0, 49)}.example.com/page/{i}"
+    warc_ts = _BASE_TS + dt.timedelta(seconds=137 * i)
+    roll = rng.random()
+
+    if roll < 0.08:  # zh page
+        lang = "zh"
+        sents, facts = [], []
+        for _ in range(rng.randint(1, 3)):
+            s, f = _zh_fact(rng)
+            sents.append(s + "。")
+            facts.append(f)
+        paragraphs = ["".join(sents)]
+    elif roll < 0.18:  # zero-entity page
+        lang = "en"
+        facts = []
+        paragraphs = [
+            " ".join(_filler_sentence(rng)) + " ."
+            for _ in range(rng.randint(2, 5))
+        ]
+    else:
+        lang = "en"
+        force = _HUB if rng.random() < 0.30 else None
+        n_facts = rng.randint(1, 4)
+        sent_tokens: List[List[str]] = []
+        facts = []
+        for k in range(n_facts):
+            toks, fact = _fact_sentence(rng, force_entity=force if k == 0 else None)
+            sent_tokens.append(toks)
+            facts.append(fact)
+        # ~20%: merge two fact sentences into one compound sentence
+        if len(sent_tokens) >= 2 and rng.random() < 0.20:
+            merged = sent_tokens[0] + ["and"] + sent_tokens[1]
+            sent_tokens = [merged] + sent_tokens[2:]
+        for _ in range(rng.randint(0, 2)):
+            sent_tokens.insert(
+                rng.randint(0, len(sent_tokens)), _distractor_sentence(rng)
+            )
+        for _ in range(rng.randint(0, 2)):
+            sent_tokens.insert(
+                rng.randint(0, len(sent_tokens)), _filler_sentence(rng)
+            )
+        # paragraphs of 1-3 sentences, each sentence "tok tok ... ."
+        paragraphs = []
+        while sent_tokens:
+            k = min(len(sent_tokens), rng.randint(1, 3))
+            paragraphs.append(
+                " ".join(" ".join(t) + " ." for t in sent_tokens[:k])
+            )
+            sent_tokens = sent_tokens[k:]
+
+    html = _render_html(f"synthetic page {i}", paragraphs)
+    # crawler-extracted text: deliberately noisy (pipeline recomputes)
+    crawler_text = None if rng.random() < 0.1 else " | ".join(paragraphs)
+    page: PageRow = {
+        "url": url,
+        "warc_ts": warc_ts,
+        "html": html,
+        "text": crawler_text,
+        "lang": lang,
+    }
+    return page, [(url, subj, rel, obj) for subj, rel, obj in facts]
+
+
 def make_pages(
     n_pages: int, seed: int = 42
 ) -> Tuple[List[PageRow], List[Tuple[str, str, str, str]]]:
-    """Build the corpus.
+    """Build the corpus (driver-side loop over :func:`make_page`).
 
     Returns (pages, planted) where planted is a list of
     (url, subj_canonical, pred, obj_canonical) gold facts by
@@ -147,74 +221,10 @@ def make_pages(
     than planted (nested-mention surfaces); planted is the sanity
     subset, the authoritative gold is the in-process extractor output.
     """
-    rng = random.Random(seed)
     pages: List[PageRow] = []
     planted: List[Tuple[str, str, str, str]] = []
-
     for i in range(n_pages):
-        url = f"https://site{rng.randint(0, 49)}.example.com/page/{i}"
-        warc_ts = _BASE_TS + dt.timedelta(seconds=137 * i)
-        roll = rng.random()
-
-        if roll < 0.08:  # zh page
-            lang = "zh"
-            sents, facts = [], []
-            for _ in range(rng.randint(1, 3)):
-                s, f = _zh_fact(rng)
-                sents.append(s + "。")
-                facts.append(f)
-            paragraphs = ["".join(sents)]
-        elif roll < 0.18:  # zero-entity page
-            lang = "en"
-            facts = []
-            paragraphs = [
-                " ".join(_filler_sentence(rng)) + " ."
-                for _ in range(rng.randint(2, 5))
-            ]
-        else:
-            lang = "en"
-            force = _HUB if rng.random() < 0.30 else None
-            n_facts = rng.randint(1, 4)
-            sent_tokens: List[List[str]] = []
-            facts = []
-            for k in range(n_facts):
-                toks, fact = _fact_sentence(rng, force_entity=force if k == 0 else None)
-                sent_tokens.append(toks)
-                facts.append(fact)
-            # ~20%: merge two fact sentences into one compound sentence
-            if len(sent_tokens) >= 2 and rng.random() < 0.20:
-                merged = sent_tokens[0] + ["and"] + sent_tokens[1]
-                sent_tokens = [merged] + sent_tokens[2:]
-            for _ in range(rng.randint(0, 2)):
-                sent_tokens.insert(
-                    rng.randint(0, len(sent_tokens)), _distractor_sentence(rng)
-                )
-            for _ in range(rng.randint(0, 2)):
-                sent_tokens.insert(
-                    rng.randint(0, len(sent_tokens)), _filler_sentence(rng)
-                )
-            # paragraphs of 1-3 sentences, each sentence "tok tok ... ."
-            paragraphs = []
-            while sent_tokens:
-                k = min(len(sent_tokens), rng.randint(1, 3))
-                paragraphs.append(
-                    " ".join(" ".join(t) + " ." for t in sent_tokens[:k])
-                )
-                sent_tokens = sent_tokens[k:]
-
-        html = _render_html(f"synthetic page {i}", paragraphs)
-        # crawler-extracted text: deliberately noisy (pipeline recomputes)
-        crawler_text = None if rng.random() < 0.1 else " | ".join(paragraphs)
-        pages.append(
-            {
-                "url": url,
-                "warc_ts": warc_ts,
-                "html": html,
-                "text": crawler_text,
-                "lang": lang,
-            }
-        )
-        for subj, rel, obj in facts:
-            planted.append((url, subj, rel, obj))
-
+        page, facts = make_page(i, seed=seed)
+        pages.append(page)
+        planted.extend(facts)
     return pages, planted

@@ -60,3 +60,39 @@ def bag_attention(
         F.round(F.col("_att"), 6).alias("att_score"),
         "bag_size",
     )
+
+
+def bag_score_grouped(
+    scored: DataFrame,
+    bag_keys: list[str],
+    score_col: str = "score",
+) -> DataFrame:
+    """The M2 applyInPandas surface: one pandas frame per bag.
+
+    Semantics are identical to :func:`bag_attention`; this variant
+    exists as the GROUPED_MAP slot where a real bag model (PCNN-Att
+    weights over member *representations*, rex/models/bag_pcnn.py:
+    142-173) would run — attention over vectors cannot be two sums, it
+    genuinely needs the bag materialized in one process.  Keep bags
+    Zipfian-safe upstream (cap bag size or pre-aggregate) before this
+    operator; Spark cannot split a single group.
+    """
+    import numpy as np
+    import pandas as pd
+
+    keys_schema = ", ".join(
+        f"{k} {scored.schema[k].dataType.simpleString()}" for k in bag_keys
+    )
+
+    def score_bag(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf[score_col].to_numpy(dtype="float64")
+        e = np.exp(s - s.max())
+        att = float((e * s).sum() / e.sum())
+        out = {k: [pdf[k].iloc[0]] for k in bag_keys}
+        out["att_score"] = [round(att, 6)]
+        out["bag_size"] = [len(pdf)]
+        return pd.DataFrame(out)
+
+    return scored.groupBy(*bag_keys).applyInPandas(
+        score_bag, schema=f"{keys_schema}, att_score double, bag_size long"
+    )

@@ -233,11 +233,50 @@ def _edge_digest(edges: DataFrame) -> Tuple[int, int]:
     return (row["n"], row["h"])
 
 
+def _driver_union_find(rows) -> list:
+    """Union-find over collected (a, b) edges; component id = min node
+    id, matching the distributed algorithm's labeling exactly."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict = {}
+    for node in parent:
+        root = find(node)
+        comp_min[root] = min(comp_min.get(root, node), node)
+    return [(node, comp_min[find(node)]) for node in parent]
+
+
+# Edge sets at or below this size are solved with driver-side
+# union-find (one collect job, microseconds of CPU) instead of the
+# iterative join loop — the same small-input escape hatch AQE applies
+# when it converts a shuffle join to broadcast.  200k edges collect to
+# ~3 MB; the distributed loop exists for everything beyond.
+DRIVER_CC_MAX_EDGES = 200_000
+
+
 def connected_components(
-    edges: DataFrame, max_iterations: int = 12
+    edges: DataFrame, max_iterations: int = 12, driver_max_edges: int | None = None
 ) -> Tuple[DataFrame, int]:
     """Large-star/small-star alternation until the edge set is a stable
     star forest.  Returns (node_id -> component_id mapping, iterations).
+
+    Scale-adaptive: the canonical edge set is first probed with a
+    ``limit(threshold + 1)`` collect; if it fits, union-find runs on
+    the driver (0 iterations reported) — at web scale the surface graph
+    exceeds the threshold and the iterative DataFrame loop below runs
+    instead.  Both paths label every node with its component's min node
+    id, so results are identical.
 
     Each round materializes via localCheckpoint: cuts the join-loop
     lineage (REx's pickle-cache analog for iterative state) and gives
@@ -248,14 +287,25 @@ def connected_components(
     stop one round early, never corrupt labels, because a stable star
     forest maps to itself under further rounds.
     """
-    cur = (
+    canon = (
         edges.select(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .where(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
-        .localCheckpoint()
     )
+    threshold = (
+        DRIVER_CC_MAX_EDGES if driver_max_edges is None else driver_max_edges
+    )
+    if threshold > 0:
+        probe = canon.limit(threshold + 1).collect()
+        if len(probe) <= threshold:
+            mapping = _driver_union_find([(r["a"], r["b"]) for r in probe])
+            spark = edges.sparkSession
+            schema = "node_id long, component long"
+            return spark.createDataFrame(mapping, schema=schema), 0
+
+    cur = canon.localCheckpoint()
     prev_digest = _edge_digest(cur)
     iterations = 0
     for _ in range(max_iterations):

@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     FloatType,
     IntegerType,
     StringType,
@@ -201,6 +202,131 @@ def extract_triples_fused(sentences: DataFrame) -> DataFrame:
 
     return sentences.select("url", "warc_ts", "sent_id", "tokens").mapInPandas(
         triple_batches, schema=TRIPLES_SCHEMA
+    )
+
+
+PLANE_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("lang", StringType(), True),
+        StructField("sent_id", IntegerType(), False),
+        StructField("sent", StringType(), True),
+        StructField("tokens", ArrayType(StringType()), True),
+        StructField(
+            "mentions",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("ent_type", StringType(), False),
+                        StructField("start", IntegerType(), False),
+                        StructField("end", IntegerType(), False),
+                        StructField("surface", StringType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+        StructField(
+            "triples",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("subj", StringType(), False),
+                        StructField("pred", StringType(), False),
+                        StructField("obj", StringType(), False),
+                        StructField("h_start", IntegerType(), False),
+                        StructField("h_end", IntegerType(), False),
+                        StructField("t_start", IntegerType(), False),
+                        StructField("t_end", IntegerType(), False),
+                        StructField("score", FloatType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def extract_plane(pages: DataFrame) -> DataFrame:
+    """pages -> per-sentence rows with nested mention/triple arrays, in
+    ONE Arrow crossing.
+
+    The composable stages (clean_pages -> segment_sentences ->
+    detect_mentions / extract_triples_fused) each pay a full
+    JVM->Arrow->pandas->Arrow->JVM round trip over the whole text
+    plane; at benchmark scale those crossings dominate the actual
+    kernel CPU.  This operator runs the same kernels back to back
+    inside one mapInPandas and leaves the fan-out to JVM-side
+    ``explode`` (plane_mentions / plane_triples), which is narrow and
+    cheap.  Output is pinned identical to the composable path by
+    tests/test_pipeline_e2e.py.
+    """
+    from ..kernels.textnorm import html_to_text, sent_seg, tokenize
+
+    src = pages.select("url", "warc_ts", "lang", "html")
+
+    def plane_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "url", "warc_ts", "lang", "sent_id", "sent", "tokens",
+                "mentions", "triples",
+            )}
+            for url, ts, lang, html in zip(
+                pdf["url"], pdf["warc_ts"], pdf["lang"], pdf["html"]
+            ):
+                text = html_to_text(html) if html is not None else ""
+                seg_lang = "zh" if lang == "zh" else "en"
+                for sid, sent in enumerate(sent_seg(text, lang=seg_lang)):
+                    toks = tokenize(sent, lang=seg_lang)
+                    cols["url"].append(url)
+                    cols["warc_ts"].append(ts)
+                    cols["lang"].append(lang)
+                    cols["sent_id"].append(sid)
+                    cols["sent"].append(sent)
+                    cols["tokens"].append(toks)
+                    cols["mentions"].append(
+                        [
+                            {"ent_type": et, "start": s, "end": e, "surface": surf}
+                            for surf, et, s, e in extract_mentions(toks)
+                        ]
+                    )
+                    cols["triples"].append(
+                        [
+                            {
+                                "subj": subj, "pred": rel, "obj": obj,
+                                "h_start": hs, "h_end": he,
+                                "t_start": tst, "t_end": te, "score": sc,
+                            }
+                            for subj, rel, obj, hs, he, tst, te, sc
+                            in extract_sentence(toks)
+                        ]
+                    )
+            out = pd.DataFrame(cols)
+            if len(out):
+                out = out.astype({"sent_id": "int32"})
+            yield out
+
+    return src.mapInPandas(plane_batches, schema=PLANE_SCHEMA)
+
+
+def plane_sentences(plane: DataFrame) -> DataFrame:
+    return plane.select("url", "warc_ts", "lang", "sent_id", "sent", "tokens")
+
+
+def plane_mentions(plane: DataFrame) -> DataFrame:
+    m = plane.select("url", "sent_id", F.explode("mentions").alias("m"))
+    return m.select(
+        "url", "sent_id", "m.ent_type", "m.start", "m.end", "m.surface"
+    )
+
+
+def plane_triples(plane: DataFrame) -> DataFrame:
+    t = plane.select("url", "warc_ts", "sent_id", F.explode("triples").alias("t"))
+    return t.select(
+        "url", "warc_ts", "sent_id", "t.subj", "t.pred", "t.obj",
+        "t.h_start", "t.h_end", "t.t_start", "t.t_end", "t.score",
     )
 
 

@@ -54,6 +54,42 @@ def build_pages_df(spark: SparkSession, n_pages: int, seed: int = 42) -> DataFra
     return spark.createDataFrame(rows, schema=PAGES_SCHEMA)
 
 
+def build_pages_df_distributed(
+    spark: SparkSession, n_pages: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Synthesize the input table ON THE EXECUTORS.
+
+    Page i depends only on (seed, i), so executors generate disjoint id
+    ranges independently — byte-identical to :func:`build_pages_df` but
+    with no driver materialization, which is the only synthesis path
+    that holds at benchmark scale (a driver-side list does not).
+    """
+    import pandas as pd
+
+    from .kernels.synth import make_page
+
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_page(int(i), seed=seed)[0] for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "url": [r["url"] for r in rows],
+                    "warc_ts": [r["warc_ts"] for r in rows],
+                    "html": [r["html"] for r in rows],
+                    "text": [r["text"] for r in rows],
+                    "lang": [r["lang"] for r in rows],
+                }
+            )
+
+    return (
+        spark.range(n_pages)
+        .repartition(parts)
+        .mapInPandas(gen, schema=PAGES_SCHEMA)
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -63,30 +99,46 @@ def run_pipeline(
     """Run (or resume) the full pipeline; returns all stage DataFrames.
 
     With a StageStore, every stage is compute-or-load and appends
-    per-partition lineage rows.  Without one, stages that fan out to
-    multiple consumers (sentences -> triples+mentions; triples ->
-    edges+triple_set) are persisted MEMORY_AND_DISK so forcing the
-    pipeline's several outputs does not recompute the text plane once
-    per output — the in-memory analog of the stage checkpoints.
+    per-partition lineage rows (composable stages, one table each).
+
+    Without one, the storeless path runs the FUSED text plane
+    (extract_plane: one Arrow crossing from pages to
+    sentences+mentions+triples, SURVEY §2.10 batching note) and
+    persists the nested plane MEMORY_AND_DISK so the several outputs
+    share one computation — the in-memory analog of the stage
+    checkpoints.  Both paths run identical kernels and are pinned
+    equal by tests/test_pipeline_e2e.py.
     """
     from pyspark import StorageLevel
 
-    def stage(name: str, fn, partition_by=None, persist: bool = False) -> DataFrame:
-        if store is None:
-            df = fn()
-            if persist:
-                df = df.persist(StorageLevel.MEMORY_AND_DISK)
-            return df
-        return store.run(name, fn, partition_by=partition_by)
-
-    docs = stage("docs", lambda: clean_pages(pages))
-    sentences = stage("sentences", lambda: segment_sentences(docs), persist=True)
-    triples = stage("triples", lambda: extract_triples_fused(sentences), persist=True)
-    mentions = stage("mentions", lambda: detect_mentions(sentences))
-
-    labeled = stage(
-        "surfaces", lambda: canonicalize_surfaces(spark, mentions), persist=True
+    from .operators.extraction import (
+        extract_plane,
+        plane_mentions,
+        plane_sentences,
+        plane_triples,
     )
+
+    if store is None:
+        plane = extract_plane(pages).persist(StorageLevel.MEMORY_AND_DISK)
+        docs = clean_pages(pages)  # lazy; forced only if the caller asks
+        sentences = plane_sentences(plane)
+        triples = plane_triples(plane)
+        mentions = plane_mentions(plane)
+        labeled = canonicalize_surfaces(spark, mentions).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    else:
+        docs = store.run("docs", lambda: clean_pages(pages))
+        sentences = store.run("sentences", lambda: segment_sentences(docs))
+        triples = store.run("triples", lambda: extract_triples_fused(sentences))
+        mentions = store.run("mentions", lambda: detect_mentions(sentences))
+        labeled = store.run(
+            "surfaces", lambda: canonicalize_surfaces(spark, mentions)
+        )
+
+    def stage(name: str, fn) -> DataFrame:
+        return fn() if store is None else store.run(name, fn)
+
     entities = stage("entities", lambda: entities_from_labeled(labeled))
     edges = stage(
         "edges",

@@ -24,6 +24,17 @@ from pyspark.sql import SparkSession
 # - shuffle.partitions is a *floor* for local runs; AQE coalesces down,
 #   and on a cluster you would raise it to ~2-3x total cores.
 _DEFAULTS = {
+    # local mode: driver == executor, and Spark's 1g default heap makes
+    # every cache/broadcast GC-bound (and 32 threads in a 1 GiB heap
+    # anti-scales).  On a cluster this maps to ordinary
+    # executor/driver memory sizing via spark-submit.
+    "spark.driver.memory": "24g",
+    # throughput-oriented GC: G1's pause-time goal costs repeated
+    # full-heap churn on Arrow-batch-heavy UDF stages (observed 2x+
+    # CPU inflation on identical reruns); the batch pipeline has no
+    # latency SLO, so the throughput collector is the right trade.
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+    "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -1,0 +1,52 @@
+"""Connected components: the driver union-find fast path and the
+iterative large-star/small-star DataFrame loop must label identically
+(component = min node id), including on a skewed hub graph."""
+
+import random
+
+from rex_spark.operators.canonical import connected_components
+
+
+def _hub_graph():
+    rng = random.Random(7)
+    edges = []
+    # one hub component (star with 200 spokes — the Zipfian head case)
+    for i in range(1, 201):
+        edges.append((i * 7, 0) if i % 2 else (0, i * 7))
+    # three long chains (worst case for naive propagation)
+    for base in (10_000, 20_000, 30_000):
+        for i in range(60):
+            edges.append((base + i, base + i + 1))
+    # self-loops and duplicates must be ignored
+    edges += [(0, 0), (10_000, 10_001), (10_001, 10_000)]
+    rng.shuffle(edges)
+    return edges
+
+
+def test_cc_driver_vs_distributed(spark):
+    df = spark.createDataFrame(_hub_graph(), "a long, b long")
+    drv, it_drv = connected_components(df)
+    dist, it_dist = connected_components(df, driver_max_edges=0)
+    assert it_drv == 0  # small graph takes the driver path
+    assert it_dist >= 1  # forced distributed loop
+    assert sorted(map(tuple, drv.collect())) == sorted(map(tuple, dist.collect()))
+
+
+def test_cc_labels_are_component_min(spark):
+    df = spark.createDataFrame(_hub_graph(), "a long, b long")
+    comp, _ = connected_components(df)
+    rows = comp.collect()
+    labels = {r["node_id"]: r["component"] for r in rows}
+    # hub component min is 0; each chain's min is its base
+    assert labels[7] == 0 and labels[1400] == 0
+    for base in (10_000, 20_000, 30_000):
+        assert labels[base + 60] == base
+    # every component id is itself labeled with itself
+    for node, c in labels.items():
+        assert labels.get(c, c) == c
+
+
+def test_cc_empty_edges(spark):
+    df = spark.createDataFrame([], "a long, b long")
+    comp, _ = connected_components(df)
+    assert comp.count() == 0

@@ -157,3 +157,50 @@ def test_distributed_prf1_matches_kernel(spark, corpus):
             assert dist[facet][k] == inproc[facet][k], (facet, k)
         assert dist[facet]["f1"] == pytest.approx(inproc[facet]["f1"])
     assert dist["triple"]["f1"] == 1.0
+
+
+def test_distributed_synthesis_identical(spark):
+    """Executor-side corpus generation is byte-identical to the
+    driver-side loop (make_page depends only on (seed, i))."""
+    from rex_spark.pipeline import build_pages_df_distributed
+
+    a = build_pages_df(spark, 60, seed=42).orderBy("url").collect()
+    b = (
+        build_pages_df_distributed(spark, 60, seed=42, partitions=4)
+        .orderBy("url")
+        .collect()
+    )
+    assert a == b
+
+
+def test_fused_plane_matches_composable_stages(spark):
+    """extract_plane (one Arrow crossing) must emit exactly the same
+    sentences, mentions and triples as the composable stage chain."""
+    from rex_spark.operators.extraction import (
+        extract_plane,
+        extract_triples_fused,
+        plane_mentions,
+        plane_sentences,
+        plane_triples,
+    )
+    from rex_spark.operators.textplane import clean_pages, segment_sentences
+
+    pages = build_pages_df(spark, 80, seed=42)
+    plane = extract_plane(pages)
+    sents_ref = segment_sentences(clean_pages(pages))
+
+    def rows(df, arr_cols=("tokens",)):
+        out = set()
+        for r in df.collect():
+            d = r.asDict()
+            for c in arr_cols:
+                if c in d:
+                    d[c] = tuple(d[c])
+            out.add(tuple(sorted(d.items())))
+        return out
+
+    assert rows(plane_sentences(plane)) == rows(sents_ref)
+    assert rows(plane_mentions(plane), ()) == rows(detect_mentions(sents_ref), ())
+    assert rows(plane_triples(plane), ()) == rows(
+        extract_triples_fused(sents_ref), ()
+    )
