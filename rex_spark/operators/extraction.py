@@ -31,6 +31,7 @@ from pyspark.sql.types import (
     ArrayType,
     FloatType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -205,51 +206,40 @@ def extract_triples_fused(sentences: DataFrame) -> DataFrame:
     )
 
 
+# Mentions and triples travel as PARALLEL PRIMITIVE ARRAYS, not
+# array<struct>: pyarrow converts list<string>/list<int> columns on a
+# C fast path, while list-of-dict struct columns fall back to per-
+# element Python iteration — measurably slower at millions of spans
+# per batch.  arrays_zip on the JVM side reassembles the structs.
+# warc_ts crosses the UDF boundary as int64 epoch-micros (warc_us):
+# timestamp columns pay tz/unit conversion per element on both sides
+# of the Arrow boundary, a plain long does not; plane_sentences /
+# plane_triples convert back with timestamp_micros (JVM-side, free).
 PLANE_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),
-        StructField("warc_ts", TimestampType(), False),
+        StructField("warc_us", LongType(), False),
         StructField("lang", StringType(), True),
         StructField("sent_id", IntegerType(), False),
         StructField("sent", StringType(), True),
         StructField("tokens", ArrayType(StringType()), True),
-        StructField(
-            "mentions",
-            ArrayType(
-                StructType(
-                    [
-                        StructField("ent_type", StringType(), False),
-                        StructField("start", IntegerType(), False),
-                        StructField("end", IntegerType(), False),
-                        StructField("surface", StringType(), False),
-                    ]
-                )
-            ),
-            False,
-        ),
-        StructField(
-            "triples",
-            ArrayType(
-                StructType(
-                    [
-                        StructField("subj", StringType(), False),
-                        StructField("pred", StringType(), False),
-                        StructField("obj", StringType(), False),
-                        StructField("h_start", IntegerType(), False),
-                        StructField("h_end", IntegerType(), False),
-                        StructField("t_start", IntegerType(), False),
-                        StructField("t_end", IntegerType(), False),
-                        StructField("score", FloatType(), False),
-                    ]
-                )
-            ),
-            False,
-        ),
+        StructField("m_type", ArrayType(StringType()), False),
+        StructField("m_start", ArrayType(IntegerType()), False),
+        StructField("m_end", ArrayType(IntegerType()), False),
+        StructField("m_surface", ArrayType(StringType()), False),
+        StructField("t_subj", ArrayType(StringType()), False),
+        StructField("t_pred", ArrayType(StringType()), False),
+        StructField("t_obj", ArrayType(StringType()), False),
+        StructField("t_hs", ArrayType(IntegerType()), False),
+        StructField("t_he", ArrayType(IntegerType()), False),
+        StructField("t_ts", ArrayType(IntegerType()), False),
+        StructField("t_te", ArrayType(IntegerType()), False),
+        StructField("t_score", ArrayType(FloatType()), False),
     ]
 )
 
 
-def extract_plane(pages: DataFrame) -> DataFrame:
+def extract_plane(pages: DataFrame, include_text: bool = True) -> DataFrame:
     """pages -> per-sentence rows with nested mention/triple arrays, in
     ONE Arrow crossing.
 
@@ -263,70 +253,138 @@ def extract_plane(pages: DataFrame) -> DataFrame:
     cheap.  Output is pinned identical to the composable path by
     tests/test_pipeline_e2e.py.
     """
+    import pyarrow as pa
+
     from ..kernels.textnorm import html_to_text, sent_seg, tokenize
 
-    src = pages.select("url", "warc_ts", "lang", "html")
+    src = pages.select(
+        "url", F.unix_micros("warc_ts").alias("warc_us"), "lang", "html"
+    )
 
-    def plane_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            cols = {k: [] for k in (
-                "url", "warc_ts", "lang", "sent_id", "sent", "tokens",
-                "mentions", "triples",
-            )}
-            for url, ts, lang, html in zip(
-                pdf["url"], pdf["warc_ts"], pdf["lang"], pdf["html"]
+    # Catalyst cannot prune columns THROUGH a map-in-arrow UDF, so
+    # pruning is an operator parameter: consumers that only need
+    # mentions + triples (the KG pipeline's graph plane) skip
+    # materializing the sentence text and token arrays — roughly half
+    # the Arrow bytes.
+    schema = (
+        PLANE_SCHEMA
+        if include_text
+        else StructType(
+            [f for f in PLANE_SCHEMA.fields if f.name not in ("sent", "tokens")]
+        )
+    )
+    names = [f.name for f in schema.fields]
+    pa_types = {
+        "url": pa.string(), "warc_us": pa.int64(), "lang": pa.string(),
+        "sent_id": pa.int32(), "sent": pa.string(),
+        "tokens": pa.list_(pa.string()),
+        "m_type": pa.list_(pa.string()), "m_start": pa.list_(pa.int32()),
+        "m_end": pa.list_(pa.int32()), "m_surface": pa.list_(pa.string()),
+        "t_subj": pa.list_(pa.string()), "t_pred": pa.list_(pa.string()),
+        "t_obj": pa.list_(pa.string()), "t_hs": pa.list_(pa.int32()),
+        "t_he": pa.list_(pa.int32()), "t_ts": pa.list_(pa.int32()),
+        "t_te": pa.list_(pa.int32()), "t_score": pa.list_(pa.float32()),
+    }
+    out_schema = pa.schema([(n, pa_types[n]) for n in names])
+
+    # mapInArrow, not mapInPandas: RecordBatches in and out, no pandas
+    # block construction / dtype inference on either side of the
+    # boundary — at millions of rows that layer is pure overhead.
+    def plane_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            cols = {k: [] for k in names}
+            for url, us, lang, html in zip(
+                rb.column(0).to_pylist(),
+                rb.column(1).to_pylist(),
+                rb.column(2).to_pylist(),
+                rb.column(3).to_pylist(),
             ):
                 text = html_to_text(html) if html is not None else ""
                 seg_lang = "zh" if lang == "zh" else "en"
                 for sid, sent in enumerate(sent_seg(text, lang=seg_lang)):
                     toks = tokenize(sent, lang=seg_lang)
                     cols["url"].append(url)
-                    cols["warc_ts"].append(ts)
+                    cols["warc_us"].append(us)
                     cols["lang"].append(lang)
                     cols["sent_id"].append(sid)
-                    cols["sent"].append(sent)
-                    cols["tokens"].append(toks)
-                    cols["mentions"].append(
-                        [
-                            {"ent_type": et, "start": s, "end": e, "surface": surf}
-                            for surf, et, s, e in extract_mentions(toks)
-                        ]
-                    )
-                    cols["triples"].append(
-                        [
-                            {
-                                "subj": subj, "pred": rel, "obj": obj,
-                                "h_start": hs, "h_end": he,
-                                "t_start": tst, "t_end": te, "score": sc,
-                            }
-                            for subj, rel, obj, hs, he, tst, te, sc
-                            in extract_sentence(toks)
-                        ]
-                    )
-            out = pd.DataFrame(cols)
-            if len(out):
-                out = out.astype({"sent_id": "int32"})
-            yield out
+                    if include_text:
+                        cols["sent"].append(sent)
+                        cols["tokens"].append(toks)
+                    ms = extract_mentions(toks)
+                    cols["m_surface"].append([m[0] for m in ms])
+                    cols["m_type"].append([m[1] for m in ms])
+                    cols["m_start"].append([m[2] for m in ms])
+                    cols["m_end"].append([m[3] for m in ms])
+                    tr = extract_sentence(toks)
+                    cols["t_subj"].append([t[0] for t in tr])
+                    cols["t_pred"].append([t[1] for t in tr])
+                    cols["t_obj"].append([t[2] for t in tr])
+                    cols["t_hs"].append([t[3] for t in tr])
+                    cols["t_he"].append([t[4] for t in tr])
+                    cols["t_ts"].append([t[5] for t in tr])
+                    cols["t_te"].append([t[6] for t in tr])
+                    cols["t_score"].append([t[7] for t in tr])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], type=pa_types[n]) for n in names],
+                schema=out_schema,
+            )
 
-    return src.mapInPandas(plane_batches, schema=PLANE_SCHEMA)
+    return src.mapInArrow(plane_batches, schema=schema)
 
 
 def plane_sentences(plane: DataFrame) -> DataFrame:
-    return plane.select("url", "warc_ts", "lang", "sent_id", "sent", "tokens")
+    return plane.select(
+        "url",
+        F.timestamp_micros("warc_us").alias("warc_ts"),
+        "lang",
+        "sent_id",
+        "sent",
+        "tokens",
+    )
 
 
 def plane_mentions(plane: DataFrame) -> DataFrame:
-    m = plane.select("url", "sent_id", F.explode("mentions").alias("m"))
+    m = plane.select(
+        "url",
+        "sent_id",
+        F.explode(
+            F.arrays_zip("m_type", "m_start", "m_end", "m_surface")
+        ).alias("m"),
+    )
     return m.select(
-        "url", "sent_id", "m.ent_type", "m.start", "m.end", "m.surface"
+        "url",
+        "sent_id",
+        F.col("m.m_type").alias("ent_type"),
+        F.col("m.m_start").alias("start"),
+        F.col("m.m_end").alias("end"),
+        F.col("m.m_surface").alias("surface"),
     )
 
 
 def plane_triples(plane: DataFrame) -> DataFrame:
-    t = plane.select("url", "warc_ts", "sent_id", F.explode("triples").alias("t"))
+    t = plane.select(
+        "url",
+        F.timestamp_micros("warc_us").alias("warc_ts"),
+        "sent_id",
+        F.explode(
+            F.arrays_zip(
+                "t_subj", "t_pred", "t_obj", "t_hs", "t_he", "t_ts", "t_te",
+                "t_score",
+            )
+        ).alias("t"),
+    )
     return t.select(
-        "url", "warc_ts", "sent_id", "t.subj", "t.pred", "t.obj",
-        "t.h_start", "t.h_end", "t.t_start", "t.t_end", "t.score",
+        "url",
+        "warc_ts",
+        "sent_id",
+        F.col("t.t_subj").alias("subj"),
+        F.col("t.t_pred").alias("pred"),
+        F.col("t.t_obj").alias("obj"),
+        F.col("t.t_hs").alias("h_start"),
+        F.col("t.t_he").alias("h_end"),
+        F.col("t.t_ts").alias("t_start"),
+        F.col("t.t_te").alias("t_end"),
+        F.col("t.t_score").alias("score"),
     )
 
 

@@ -95,6 +95,7 @@ def run_pipeline(
     pages: DataFrame,
     store: StageStore | None = None,
     salt_partitions: int = 8,
+    include_sentence_text: bool = True,
 ) -> Dict[str, DataFrame]:
     """Run (or resume) the full pipeline; returns all stage DataFrames.
 
@@ -119,9 +120,22 @@ def run_pipeline(
     )
 
     if store is None:
-        plane = extract_plane(pages).persist(StorageLevel.MEMORY_AND_DISK)
+        plane = extract_plane(pages, include_text=include_sentence_text).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         docs = clean_pages(pages)  # lazy; forced only if the caller asks
-        sentences = plane_sentences(plane)
+        from pyspark.sql import functions as F
+
+        sentences = (
+            plane_sentences(plane)
+            if include_sentence_text
+            else plane.select(
+                "url",
+                F.timestamp_micros("warc_us").alias("warc_ts"),
+                "lang",
+                "sent_id",
+            )
+        )
         triples = plane_triples(plane)
         mentions = plane_mentions(plane)
         labeled = canonicalize_surfaces(spark, mentions).persist(

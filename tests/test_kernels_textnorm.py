@@ -85,3 +85,37 @@ def test_html_to_text_deterministic_bytes():
     assert html_to_text(html) == "café & bar"
     # invalid utf-8 is replaced deterministically
     assert html_to_text(b"<p>\xff ok</p>") == "� ok"
+
+
+def test_fast_html_path_matches_reference():
+    """The single-pass scanner must be byte-identical to the pinned
+    HTMLParser reference on the corpus and on adversarial inputs
+    (falling back to the reference whenever it cannot guarantee it)."""
+    from rex_spark.kernels.synth import make_page
+    from rex_spark.kernels.textnorm import _html_to_text_reference, html_to_text
+
+    for i in range(300):
+        page, _ = make_page(i, seed=42)
+        h = bytes(page["html"]).decode("utf-8")
+        assert html_to_text(page["html"]) == _html_to_text_reference(h)
+
+    cases = [
+        "<p>a &amp; b</p>", "<p>x<br/>y</p>", "<P>UPPER</P>",
+        "<div attr='a>b'>q</div>", '<div t="1>2">z</div>',
+        "<script>if(a<b){}</script><p>vis</p>",
+        "<script></scriptx><p>hidden?</p></script><p>shown</p>",
+        "<!-- c --><p>after comment</p>", "<!DOCTYPE html><p>d</p>",
+        "<p>3 < 5 sometimes</p>", "<p>unclosed <b>bold",
+        "<nav><ul><li>x</li></ul></nav><p>body</p>",
+        "<style>p { color: red; }</style><p>v</p>",
+        "plain text no tags &lt;tag&gt;", "", "<p></p>",
+        "<td>a</td><span>b</span><p>c", "<br>line<br>two",
+        "<p>ends with amp &</p>", "<p>&#x41;&#66;</p>",
+        "<p>a\nb\tc   d</p>", "<svg><circle/></svg><p>s</p>",
+        "<p>q <a href='/x?a=1&b=2'>link</a> r</p>",
+        "<noscript><p>no</p></noscript><p>yes</p>",
+        "<script src='x.js'/>visible<p>z</p>",
+        "<style>@media (a<b) {}</style><p>m</p>",
+    ]
+    for c in cases:
+        assert html_to_text(c) == _html_to_text_reference(c), c
