@@ -359,6 +359,66 @@ def q_bag_grouped(spark, sf):
     )
 
 
+def q_confusion(spark, sf):
+    """A4: per-class tp/fp/fn confusion counts (pred = high value,
+    gold = even json-k)."""
+    ev = _t(spark, sf, "events")
+    pred = F.col("value") >= 50
+    gold = F.pmod(F.get_json_object("props", "$.k").cast("long"), F.lit(2)) == 0
+    b = lambda c: c.cast("int")  # noqa: E731
+    return ev.groupBy("event_type").agg(
+        F.sum(b(pred & gold)).alias("tp"),
+        F.sum(b(pred & ~gold)).alias("fp"),
+        F.sum(b(~pred & gold)).alias("fn"),
+    )
+
+
+def q_macro_prf1(spark, sf):
+    """A3: per-class PRF1 + macro average over classes, one row."""
+    conf = q_confusion(spark, sf)
+    p = F.when(F.col("tp") + F.col("fp") == 0, 0.0).otherwise(
+        F.col("tp") / (F.col("tp") + F.col("fp"))
+    )
+    r = F.when(F.col("tp") + F.col("fn") == 0, 0.0).otherwise(
+        F.col("tp") / (F.col("tp") + F.col("fn"))
+    )
+    per = conf.select(
+        "event_type", p.alias("p"), r.alias("r")
+    ).withColumn(
+        "f1",
+        F.when(F.col("p") + F.col("r") == 0, 0.0).otherwise(
+            2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r"))
+        ),
+    )
+    return per.agg(
+        F.round(F.avg("p"), 6).alias("macro_p"),
+        F.round(F.avg("r"), 6).alias("macro_r"),
+        F.round(F.avg("f1"), 6).alias("macro_f1"),
+        F.count(F.lit(1)).alias("n_classes"),
+    )
+
+
+def q_asof_pairs(spark, sf):
+    """W2 relational form: nearest following tail event per head event
+    (reverse-running-min window, no self-join)."""
+    from rex_spark.operators.sequences import asof_next
+
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+        "value",
+    )
+    out = asof_next(
+        ev,
+        ["user_id"],
+        ["tsu", "event_id"],
+        head_pred=F.col("value") >= 80,
+        tail_pred=F.col("value") <= 20,
+    )
+    return out.select("user_id", "event_id", "tsu", "next_tail")
+
+
 def q_doc_stats(spark, sf):
     from rex_spark.operators.textstats import doc_stats
 
@@ -458,6 +518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ner_decode_sql": q_ner_decode_sql,
         "ner_decode_udf": q_ner_decode_udf,
         "bag_grouped": q_bag_grouped,
+        "confusion": q_confusion,
+        "macro_prf1": q_macro_prf1,
+        "asof_pairs": q_asof_pairs,
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
@@ -729,6 +792,49 @@ def oracle_sql() -> dict[str, str]:
                          max(value) OVER (PARTITION BY user_id) AS mx
                   FROM events)
             GROUP BY user_id
+        """,
+        "confusion": """
+            SELECT event_type,
+                   CAST(sum(CASE WHEN pred AND gold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(sum(CASE WHEN pred AND NOT gold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(sum(CASE WHEN NOT pred AND gold THEN 1 ELSE 0 END) AS BIGINT) AS fn
+            FROM (SELECT event_type, value >= 50 AS pred,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0 AS gold
+                  FROM events)
+            GROUP BY 1
+        """,
+        "macro_prf1": """
+            WITH conf AS (
+              SELECT event_type,
+                     sum(CASE WHEN pred AND gold THEN 1 ELSE 0 END) AS tp,
+                     sum(CASE WHEN pred AND NOT gold THEN 1 ELSE 0 END) AS fp,
+                     sum(CASE WHEN NOT pred AND gold THEN 1 ELSE 0 END) AS fn
+              FROM (SELECT event_type, value >= 50 AS pred,
+                           CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0 AS gold
+                    FROM events)
+              GROUP BY 1),
+            per AS (
+              SELECT CASE WHEN tp+fp = 0 THEN 0.0 ELSE tp*1.0/(tp+fp) END AS p,
+                     CASE WHEN tp+fn = 0 THEN 0.0 ELSE tp*1.0/(tp+fn) END AS r
+              FROM conf),
+            per2 AS (
+              SELECT p, r,
+                     CASE WHEN p+r = 0 THEN 0.0 ELSE 2*p*r/(p+r) END AS f1
+              FROM per)
+            SELECT round(avg(p), 6) AS macro_p, round(avg(r), 6) AS macro_r,
+                   round(avg(f1), 6) AS macro_f1, count(*) AS n_classes
+            FROM per2
+        """,
+        "asof_pairs": """
+            SELECT user_id, event_id, tsu, next_tail FROM (
+              SELECT user_id, event_id, epoch_us(ts) AS tsu, value,
+                     min(CASE WHEN value <= 20 THEN epoch_us(ts) END) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts) ASC, event_id ASC
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS next_tail
+              FROM events)
+            WHERE value >= 80
         """,
         "doc_stats": f"""
             WITH base AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),

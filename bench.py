@@ -30,7 +30,7 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # pages synthesized for the KG-pipeline benchmark (deterministic, seed=42)
-N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
 # the scaling run needs a compute-dominated input: small corpora measure
 # scheduler overhead, not scaling (56 core-seconds of work cannot show
 # a 4x speedup on a job with ~5s of fixed per-run cost)
@@ -106,9 +106,10 @@ def bench_once() -> dict:
     qmap = entry_mod.queries()
     timings: dict[str, float] = {}
 
-    # warm the JVM / Arrow path once so the first timed query is not
-    # paying one-time init costs.
+    # warm the JVM / Arrow path / Python workers once so the timed
+    # pipeline measures steady state, not one-time init costs.
     spark.range(1000).selectExpr("sum(id)").collect()
+    _run_kg(spark, max(500, N_PAGES // 20))
 
     kg_sec, n_triples = _run_kg(spark, N_PAGES)
     timings["kg_pipeline"] = round(kg_sec, 3)
