@@ -94,6 +94,60 @@ def minhash_signature(
     return vals.min(axis=0).astype(np.int64).tolist()
 
 
+def minhash_signatures_batch(
+    shingle_lists: Sequence[Sequence[str]],
+    params: tuple[np.ndarray, np.ndarray],
+) -> np.ndarray:
+    """MinHash signatures for a whole batch of documents at once.
+
+    Flattens every document's shingles into one hash pass and takes
+    per-document minima with ``np.minimum.reduceat`` — one (T, P)
+    matrix op per Arrow batch instead of one (S, P) op per document
+    (the per-doc variant spends ~0.5 ms/doc on dispatch alone).
+    Returns (D, P) int64; rows for empty shingle sets are the max
+    sentinel, exactly like :func:`minhash_signature`.  Pinned equal to
+    the scalar path by tests.
+    """
+    a, b = params
+    num_perm = len(a)
+    d = len(shingle_lists)
+    out = np.full((d, num_perm), _MERSENNE31, dtype=np.int64)
+    lengths = np.fromiter((len(s) for s in shingle_lists), dtype=np.int64, count=d)
+    nonempty = np.flatnonzero(lengths)
+    if len(nonempty) == 0:
+        return out
+    flat: List[str] = []
+    for i in nonempty:
+        flat.extend(shingle_lists[i])
+    base = hash64_batch(flat) % np.uint64(_MERSENNE31)
+    with np.errstate(over="ignore"):
+        vals = (base[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE31)
+    offsets = np.zeros(len(nonempty), dtype=np.int64)
+    np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
+    mins = np.minimum.reduceat(vals, offsets, axis=0)
+    out[nonempty] = mins.astype(np.int64)
+    return out
+
+
+def band_keys_batch(signatures: np.ndarray, bands: int) -> np.ndarray:
+    """LSH band keys for a (D, P) signature matrix -> (D, bands) uint64.
+
+    Same splitmix64 fold as :func:`band_keys`, vectorized across the
+    document and band axes (the scalar chain runs rows-per-band times
+    on (D, bands) lanes)."""
+    d, n = signatures.shape
+    rows = n // bands
+    sig3 = signatures.astype(np.uint64).reshape(d, bands, rows)
+    acc = np.empty((1, bands), dtype=np.uint64)
+    for b in range(bands):
+        acc[0, b] = splitmix64(b + 0x5EED)
+    acc = np.broadcast_to(acc, (d, bands)).copy()
+    with np.errstate(over="ignore"):
+        for i in range(rows):
+            acc = _np_splitmix64(acc ^ sig3[:, :, i])
+    return acc
+
+
 def band_keys(signature: Sequence[int], bands: int) -> List[int]:
     """LSH banding: split the signature into ``bands`` equal rows-per-band
     groups and hash each group to a 64-bit bucket key."""

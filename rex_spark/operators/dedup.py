@@ -38,8 +38,27 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..kernels.hashing import band_keys, minhash_params, minhash_signature, simhash64
+from ..kernels.hashing import (
+    band_keys_batch,
+    minhash_params,
+    minhash_signatures_batch,
+    simhash64,
+)
 from ..kernels.textnorm import ngrams
+
+
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Repartition an UNDER-parallelized input up to the cluster's
+    default parallelism before a CPU-heavy Python stage.
+
+    Small parquet files scan as one partition (maxPartitionBytes), so
+    the UDF would run on one core; at real scale the scan already has
+    >= defaultParallelism partitions and this is a no-op (no shuffle).
+    """
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < dp:
+        return df.repartition(dp)
+    return df
 
 
 def _norm_text(col):
@@ -138,25 +157,36 @@ def minhash_lsh_pairs(
     thresholds the two agree with overwhelming probability, which the
     tests exploit.
     """
+    import numpy as np
+
     params = minhash_params(num_perm)
 
     def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            doc_ids = pdf["doc_id"].to_numpy()
+            shingle_lists = []
+            for text in pdf["text"]:
                 toks = " ".join((text or "").lower().split()).split(" ")
-                sh = sorted(set(ngrams(toks, n)))
-                sig = minhash_signature(sh, params)
-                for band_id, key in enumerate(band_keys(sig, num_bands)):
-                    rows.append((doc_id, band_id, key - (1 << 63)))
-            out = pd.DataFrame(rows, columns=["doc_id", "band_id", "band_key"])
-            if rows:
-                out = out.astype({"band_id": "int32"})
-            yield out
+                shingle_lists.append(set(ngrams(toks, n)))
+            sigs = minhash_signatures_batch(shingle_lists, params)
+            keys = band_keys_batch(sigs, num_bands)  # (D, bands)
+            d = len(doc_ids)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(doc_ids, num_bands),
+                    "band_id": np.tile(
+                        np.arange(num_bands, dtype=np.int32), d
+                    ),
+                    "band_key": (
+                        keys.reshape(-1).view(np.int64)
+                        if d
+                        else np.array([], dtype=np.int64)
+                    ),
+                }
+            )
 
-    banded = documents.select("doc_id", "text").mapInPandas(
-        sig_batches, schema=_SIG_SCHEMA
-    )
+    src = _parallelize(documents.select("doc_id", "text"))
+    banded = src.mapInPandas(sig_batches, schema=_SIG_SCHEMA)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band_id", "band_key"])
@@ -164,8 +194,21 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
-    # verify candidates with exact Jaccard on shingle arrays
-    sh = documents.select("doc_id", _shingles(F.col("text"), n).alias("sh"))
+    # verify candidates with exact Jaccard on shingle arrays.  The
+    # arrays come from a second Arrow UDF rather than the JVM
+    # transform/slice expression: building S slice-and-concat results
+    # per document in Catalyst codegen measured ~4x slower than the
+    # same loop in Python for long documents.
+    def sh_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_sh = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = " ".join((text or "").lower().split()).split(" ")
+                out_ids.append(doc_id)
+                out_sh.append(sorted(set(ngrams(toks, n))))
+            yield pd.DataFrame({"doc_id": out_ids, "sh": out_sh})
+
+    sh = src.mapInPandas(sh_batches, schema="doc_id long, sh array<string>")
     out = (
         cand.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a")
         .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b")
@@ -203,7 +246,7 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
                 rows.append((doc_id, simhash64(toks) - (1 << 63)))
             yield pd.DataFrame(rows, columns=["doc_id", "simhash"])
 
-    sims = documents.select("doc_id", "text").mapInPandas(
+    sims = _parallelize(documents.select("doc_id", "text")).mapInPandas(
         sim_batches, schema=_SIMHASH_SCHEMA
     )
     chunks = sims.select(

@@ -116,3 +116,32 @@ def test_simhash_and_fingerprint():
     assert hamming64(a, b) < hamming64(a, c)
     assert rolling_fingerprint(["a", "b"]) != rolling_fingerprint(["b", "a"])
     assert rolling_fingerprint(["a", "b"]) == rolling_fingerprint(["a", "b"])
+
+
+def test_batch_minhash_matches_scalar():
+    """minhash_signatures_batch / band_keys_batch must equal the scalar
+    kernels element-for-element, including empty shingle sets."""
+    import numpy as np
+
+    from rex_spark.kernels.hashing import (
+        band_keys,
+        band_keys_batch,
+        minhash_params,
+        minhash_signature,
+        minhash_signatures_batch,
+    )
+
+    params = minhash_params(64)
+    docs = [
+        ["a b c", "b c d", "c d e"],
+        [],
+        ["x y z"],
+        ["a b c"] * 5 + ["q w e"],
+        [f"tok{i} tok{i+1} tok{i+2}" for i in range(200)],
+    ]
+    batch = minhash_signatures_batch(docs, params)
+    for i, sh in enumerate(docs):
+        assert batch[i].tolist() == minhash_signature(sorted(set(sh)), params)
+    keys = band_keys_batch(batch, 16)
+    for i in range(len(docs)):
+        assert keys[i].tolist() == band_keys(batch[i].tolist(), 16)
