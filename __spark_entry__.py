@@ -473,6 +473,21 @@ def q_kg_edges(spark, sf):
     return r["edges"].select("pred", "support")
 
 
+def q_kg_casrel(spark, sf):
+    """M3 slot: CasRel-style two-stage pointer decode, same stage
+    interface as the fused extractor (agreement pinned by tests)."""
+    from rex_spark.operators.pointer_extraction import casrel_extract
+    from rex_spark.operators.textplane import clean_pages, segment_sentences
+    from rex_spark.pipeline import build_pages_df
+
+    pages = build_pages_df(spark, 200, seed=42)
+    return (
+        casrel_extract(segment_sentences(clean_pages(pages)))
+        .select("url", "subj", "pred", "obj")
+        .distinct()
+    )
+
+
 def q_asset_features(spark, sf):
     from rex_spark.operators.multimodal import extract_features, make_assets
 
@@ -528,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_entities": q_kg_entities,
         "kg_edges": q_kg_edges,
+        "kg_casrel": q_kg_casrel,
         "asset_features": q_asset_features,
         "asset_stats": q_asset_stats,
     }
@@ -892,5 +908,5 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": f"SELECT doc_id, md5({_NORM}) AS fp_md5 FROM documents",
         # no oracle entries (rows-only driver check, gated by tests/):
         # minhash_lsh, simhash, lsh_ann_topk, kg_triples, kg_entities,
-        # kg_edges, asset_features, asset_stats
+        # kg_edges, kg_casrel, asset_features, asset_stats
     }

@@ -56,8 +56,9 @@ def test_oracle_coverage():
     assert not set(ORACLES) - set(ALL_QUERIES)
     # the rows-only set is exactly the documented non-SQL-expressible ops
     assert ROWS_ONLY == [
-        "asset_features", "asset_stats", "kg_edges", "kg_entities",
-        "kg_triples", "lsh_ann_topk", "minhash_lsh", "simhash",
+        "asset_features", "asset_stats", "kg_casrel", "kg_edges",
+        "kg_entities", "kg_triples", "lsh_ann_topk", "minhash_lsh",
+        "simhash",
     ]
 
 

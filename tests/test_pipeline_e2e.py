@@ -204,3 +204,20 @@ def test_fused_plane_matches_composable_stages(spark):
     assert rows(plane_triples(plane), ()) == rows(
         extract_triples_fused(sents_ref), ()
     )
+
+
+def test_casrel_pointer_path_agrees_with_pair_scorer(spark):
+    """The CasRel-style pointer decode (M3+W2) must agree with the
+    pair-scoring extractor at P/R >= 0.95 on document triple sets
+    (exact equality is impossible: pointer vectors cannot express
+    nested mentions with distinct ends)."""
+    from rex_spark.operators.extraction import extract_triples_fused
+    from rex_spark.operators.pointer_extraction import casrel_extract
+    from rex_spark.operators.textplane import clean_pages, segment_sentences
+
+    sents = segment_sentences(clean_pages(build_pages_df(spark, 120, seed=42)))
+    key = ["url", "subj", "pred", "obj"]
+    a = extract_triples_fused(sents).select(*key).distinct()
+    b = casrel_extract(sents).select(*key).distinct()
+    scores = triple_prf1_dict(b, a)["triple"]
+    assert scores["p"] >= 0.95 and scores["r"] >= 0.95, scores
