@@ -207,6 +207,35 @@ def q_accuracy(spark, sf):
     )
 
 
+def q_salted_provenance(spark, sf):
+    """J7: skew-proof two-phase distinct-collect (provenance shape) —
+    per event_type, the 5 smallest distinct user_ids + row count."""
+    from rex_spark.operators.skew import salted_collect_slice
+
+    ev = _t(spark, sf, "events").select("event_type", "user_id")
+    return salted_collect_slice(
+        ev, ["event_type"], "user_id", k=5, salt_partitions=16
+    )
+
+
+def q_dict_encode(spark, sf):
+    """P7: dictionary encoding — dense ids assigned by (freq desc,
+    token asc), reported for the 20 most frequent tokens."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    freq = (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        freq.withColumn("token_id", F.row_number().over(w))
+        .where(F.col("token_id") <= 20)
+        .select("token_id", "token", "freq")
+    )
+
+
 def q_vocab(spark, sf):
     """A7: vocab building — distinct tokens per language."""
     d = _t(spark, sf, "documents")
@@ -516,6 +545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except": q_set_except,
         "prf1": q_prf1,
         "accuracy": q_accuracy,
+        "salted_provenance": q_salted_provenance,
+        "dict_encode": q_dict_encode,
         "vocab": q_vocab,
         "label_count": q_label_count,
         "threshold_fanout": q_threshold_fanout,
@@ -679,6 +710,22 @@ def oracle_sql() -> dict[str, str]:
                                   THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
                    count(*) AS n
             FROM orders
+        """,
+        "salted_provenance": """
+            SELECT event_type,
+                   (list_sort(list(DISTINCT user_id)))[1:5] AS items,
+                   count(*) AS support
+            FROM events GROUP BY 1
+        """,
+        "dict_encode": f"""
+            SELECT CAST(row_number() OVER (ORDER BY freq DESC, token ASC)
+                        AS INTEGER) AS token_id,
+                   token, freq
+            FROM (SELECT token, count(*) AS freq
+                  FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+                  GROUP BY 1)
+            ORDER BY freq DESC, token ASC
+            LIMIT 20
         """,
         "vocab": f"""
             SELECT lang, count(DISTINCT token) AS vocab_size

@@ -456,7 +456,12 @@ def edges_from_labeled(
     ``salt_partitions`` > 0 enables the J7 hub-entity skew defusal: a
     deterministic salt spreads each hot (src, pred, dst) key over
     ``salt_partitions`` partial counts, then a second (tiny)
-    aggregation sums them — no single reducer ever sees a whole hub key.
+    aggregation sums them.  For a plain count, Spark's own map-side
+    partial aggregation already bounds what any reducer receives
+    (partials, not raw rows), so the salt is belt-and-braces here; it
+    becomes load-bearing when the support aggregation grows non-partial
+    state (collect_list of provenance urls, exact distinct counts),
+    which is the production shape for edge evidence tracking.
     """
     # surface->entity resolution: the surface dimension is much smaller
     # than the triples fact table but NOT guaranteed broadcastable at

@@ -66,3 +66,22 @@ def test_driver_canonicalization_matches_distributed(spark):
     drv = canonicalize_surfaces(spark, mentions)
     dist = canonicalize_surfaces(spark, mentions, driver_max_surfaces=0)
     assert sorted(map(tuple, drv.collect())) == sorted(map(tuple, dist.collect()))
+
+
+def test_salted_collect_slice_matches_unsalted(spark):
+    """The two-phase salted distinct-collect must equal the direct
+    aggregation exactly, including on a heavily skewed key."""
+    import random
+
+    from rex_spark.operators.skew import salted_collect_slice
+
+    rng = random.Random(3)
+    rows = [("hub", rng.randint(0, 40)) for _ in range(5000)]
+    rows += [(f"k{i%7}", rng.randint(0, 1000)) for i in range(300)]
+    df = spark.createDataFrame(rows, "key string, item long")
+    a = salted_collect_slice(df, ["key"], "item", k=5, salt_partitions=0)
+    b = salted_collect_slice(df, ["key"], "item", k=5, salt_partitions=16)
+    ra = {r["key"]: (list(r["items"]), r["support"]) for r in a.collect()}
+    rb = {r["key"]: (list(r["items"]), r["support"]) for r in b.collect()}
+    assert ra == rb
+    assert ra["hub"][1] == 5000 and len(ra["hub"][0]) == 5
