@@ -150,13 +150,25 @@ def run_pipeline(
             "surfaces", lambda: canonicalize_surfaces(spark, mentions)
         )
 
-    def stage(name: str, fn) -> DataFrame:
-        return fn() if store is None else store.run(name, fn)
+    def stage(name: str, fn, partition_by=None) -> DataFrame:
+        if store is None:
+            return fn()
+        return store.run(name, fn, partition_by=partition_by)
 
-    entities = stage("entities", lambda: entities_from_labeled(labeled))
+    # entities sorted by id within files (point-lookup friendly); edges
+    # partitioned by predicate — the low-cardinality column every graph
+    # query filters on, so partition pruning applies (Iceberg analog:
+    # PARTITIONED BY pred, sorted on (src, dst))
+    entities = stage(
+        "entities",
+        lambda: entities_from_labeled(labeled).sortWithinPartitions("entity_id"),
+    )
     edges = stage(
         "edges",
-        lambda: edges_from_labeled(labeled, triples, salt_partitions=salt_partitions),
+        lambda: edges_from_labeled(
+            labeled, triples, salt_partitions=salt_partitions
+        ).sortWithinPartitions("src", "dst"),
+        partition_by=["pred"],
     )
 
     return {
