@@ -377,6 +377,17 @@ def q_ner_decode_udf(spark, sf):
     )
 
 
+def q_mrc_union(spark, sf):
+    """M4/A10: per-type MRC-style fan-out + per-doc entity-set union
+    (type prompts stood in by token-length bands)."""
+    from rex_spark.operators.ner import mrc_fanout_union
+
+    return mrc_fanout_union(
+        _t(spark, sf, "documents"),
+        {"LONG": (7, 99), "MID": (5, 6)},
+    )
+
+
 def q_bag_grouped(spark, sf):
     """M2 GROUPED_MAP surface: applyInPandas bag scorer (same result
     as bag_attention, checked against the same SQL oracle)."""
@@ -564,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ner_decode_sql": q_ner_decode_sql,
         "ner_decode_udf": q_ner_decode_udf,
         "bag_grouped": q_bag_grouped,
+        "mrc_union": q_mrc_union,
         "confusion": q_confusion,
         "macro_prf1": q_macro_prf1,
         "asof_pairs": q_asof_pairs,
@@ -845,6 +857,36 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(token, ' ' ORDER BY pos) AS surface
             FROM runs WHERE f
             GROUP BY doc_id, run_id
+        """,
+        "mrc_union": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+                 pos AS (SELECT doc_id, unnest(t) AS token,
+                                unnest(range(len(t))) AS pos
+                         FROM toks),
+                 bands AS (SELECT * FROM (VALUES ('LONG', 7, 99),
+                                                 ('MID', 5, 6))
+                           AS b(ent_type, lo, hi)),
+                 flagged AS (
+                   SELECT p.doc_id, b.ent_type, p.pos,
+                          length(p.token) BETWEEN b.lo AND b.hi AS f
+                   FROM pos p CROSS JOIN bands b),
+                 bounded AS (
+                   SELECT doc_id, ent_type, pos, f,
+                          CASE WHEN f AND NOT coalesce(
+                                 lag(f) OVER (PARTITION BY doc_id, ent_type
+                                              ORDER BY pos), false)
+                               THEN 1 ELSE 0 END AS boundary
+                   FROM flagged),
+                 runs AS (
+                   SELECT doc_id, ent_type, pos, f,
+                          sum(boundary) OVER (
+                            PARTITION BY doc_id, ent_type ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+                   FROM bounded)
+            SELECT DISTINCT doc_id, ent_type,
+                   min(pos) AS start_pos, max(pos) + 1 AS end_pos
+            FROM runs WHERE f
+            GROUP BY doc_id, ent_type, run_id
         """,
         "bag_grouped": """
             SELECT user_id,

@@ -139,6 +139,51 @@ def decode_runs_sql(tagged: DataFrame) -> DataFrame:
     )
 
 
+def mrc_fanout_union(documents: DataFrame, type_specs: dict[str, tuple[int, int]]) -> DataFrame:
+    """M4/A10: MRC-style per-type fan-out then per-doc entity-set union.
+
+    The reference's MRC-NER path builds ONE INPUT ROW PER (text,
+    ent_type) query (rex/data/transforms/mrc_ner.py:58-76), decodes
+    spans per query, then unions the decoded entity sets per text id
+    (rex/tasks/named_entity_recognition.py:113-117).  Here the
+    "queries" are length-band specs ``{type: (lo, hi)}`` standing in
+    for natural-language type prompts; the decode is the same
+    window-run grouping as decode_runs_sql, and the union is
+    ``dropDuplicates`` on the long format (A10's preferred shape —
+    no per-doc array materialization).
+    """
+    fan = None
+    for ent_type, (lo, hi) in sorted(type_specs.items()):
+        pos = documents.select(
+            "doc_id",
+            F.posexplode(_norm_tokens(F.col("text"))).alias("pos", "token"),
+        )
+        flagged = pos.withColumn(
+            "f",
+            (F.length("token") >= lo) & (F.length("token") <= hi),
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        runs = (
+            flagged.withColumn(
+                "boundary",
+                (
+                    F.col("f")
+                    & ~F.coalesce(F.lag("f").over(w), F.lit(False))
+                ).cast("int"),
+            )
+            .withColumn("run_id", F.sum("boundary").over(w))
+            .where("f")
+        )
+        spans = runs.groupBy("doc_id", "run_id").agg(
+            F.lit(ent_type).alias("ent_type"),
+            F.min("pos").cast("long").alias("start_pos"),
+            (F.max("pos") + 1).cast("long").alias("end_pos"),
+        ).drop("run_id")
+        fan = spans if fan is None else fan.unionByName(spans)
+    # A10 union: distinct typed spans per doc (long format, no arrays)
+    return fan.dropDuplicates(["doc_id", "ent_type", "start_pos", "end_pos"])
+
+
 def flag_spans(documents: DataFrame, min_len: int = 6, via: str = "sql") -> DataFrame:
     """documents -> (doc_id, ent_type, start, end, surface) mention
     spans of consecutive long tokens; ``via`` picks the decode path."""
