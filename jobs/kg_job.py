@@ -28,14 +28,18 @@ import time
 
 def parse_args(argv):
     p = argparse.ArgumentParser(description=__doc__)
-    src = p.add_mutually_exclusive_group(required=True)
+    src = p.add_mutually_exclusive_group()
     src.add_argument("--pages-table", help="path of the pages table (parquet/Iceberg-style dir)")
     src.add_argument("--synthetic", type=int, metavar="N", help="synthesize N pages (seed fixed)")
+    p.add_argument("-c", "--config", action="append", default=[],
+                   help="yaml config file(s); later files override earlier (REx -c)")
+    p.add_argument("-a", "--set", dest="dotlist", action="append", default=[],
+                   help="key=value overrides, highest precedence (REx -a)")
     p.add_argument("--stage-root", help="checkpoint root; omit with --no-store")
     p.add_argument("--no-store", action="store_true", help="storeless fused run (no resume)")
-    p.add_argument("--salt-partitions", type=int, default=8, help="J7 hub-key salting width")
+    p.add_argument("--salt-partitions", type=int, default=None, help="J7 hub-key salting width")
     p.add_argument("--master", default=None, help="override spark master (default env/local)")
-    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--seed", type=int, default=None)
     p.add_argument("--skip-sentence-text", action="store_true",
                    help="prune sentence text through the UDF (graph outputs only)")
     return p.parse_args(argv)
@@ -43,27 +47,51 @@ def parse_args(argv):
 
 def main(argv=None) -> None:
     args = parse_args(argv if argv is not None else sys.argv[1:])
-    if not args.no_store and not args.stage_root:
-        raise SystemExit("--stage-root is required unless --no-store")
 
+    from rex_spark.config import dump_config, load_config
     from rex_spark.io.stages import StageStore
     from rex_spark.pipeline import build_pages_df_distributed, run_pipeline
     from rex_spark.session import get_session
 
-    spark = get_session(master=args.master, app_name="rex_spark_kg_job")
-    if args.pages_table:
-        pages = spark.read.parquet(args.pages_table)
-    else:
-        pages = build_pages_df_distributed(spark, args.synthetic, seed=args.seed)
+    # defaults -> yaml file(s) -> dotlist -> explicit CLI flags
+    cfg = load_config(args.config, args.dotlist)
+    cli = {
+        "pages_table": args.pages_table,
+        "synthetic_pages": args.synthetic,
+        "stage_root": args.stage_root,
+        "salt_partitions": args.salt_partitions,
+        "master": args.master,
+        "seed": args.seed,
+    }
+    cfg = cfg.merged_with({k: v for k, v in cli.items() if v is not None})
+    if args.skip_sentence_text:
+        cfg = cfg.merged_with({"include_sentence_text": False})
 
-    store = None if args.no_store else StageStore(spark, args.stage_root)
+    if cfg.pages_table is None and cfg.synthetic_pages is None:
+        raise SystemExit("need --pages-table/--synthetic (or config equivalent)")
+    if not args.no_store and not cfg.stage_root:
+        raise SystemExit("--stage-root (or config stage_root) required unless --no-store")
+
+    spark = get_session(
+        master=cfg.master,
+        shuffle_partitions=cfg.shuffle_partitions,
+        app_name="rex_spark_kg_job",
+    )
+    if cfg.pages_table:
+        pages = spark.read.parquet(cfg.pages_table)
+    else:
+        pages = build_pages_df_distributed(spark, cfg.synthetic_pages, seed=cfg.seed)
+
+    store = None if args.no_store else StageStore(spark, cfg.stage_root)
+    if cfg.stage_root:
+        dump_config(cfg, cfg.stage_root)  # reference's task-dir config dump
     t0 = time.perf_counter()
     result = run_pipeline(
         spark,
         pages,
         store=store,
-        salt_partitions=args.salt_partitions,
-        include_sentence_text=not args.skip_sentence_text,
+        salt_partitions=cfg.salt_partitions,
+        include_sentence_text=cfg.include_sentence_text,
     )
     summary = {
         "triples": result["triple_set"].count(),
