@@ -92,6 +92,8 @@ def main(argv=None) -> None:
         store=store,
         salt_partitions=cfg.salt_partitions,
         include_sentence_text=cfg.include_sentence_text,
+        score_threshold=cfg.score_threshold,
+        driver_max_surfaces=cfg.driver_max_surfaces,
     )
     summary = {
         "triples": result["triple_set"].count(),

@@ -36,8 +36,9 @@ class PipelineConfig:
     stage_root: str | None = None
     salt_partitions: int = 8
     include_sentence_text: bool = True
-    # extraction thresholds (T3 analog of conf pred_threshold)
-    score_threshold: float = 0.5
+    # extra pipeline-level T3 cut on top of the kernel's own threshold
+    # (the conf pred_threshold analog); None = kernel threshold only
+    score_threshold: float | None = None
     # canonicalization
     driver_max_surfaces: int | None = None
 

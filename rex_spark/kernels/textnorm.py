@@ -99,12 +99,15 @@ def _html_to_text_reference(html: str) -> str:
 
 
 # One tag token: optional end-slash, tag name, attributes (quoted
-# values may contain '>'), optional self-closing slash.  Tag-name
-# charset is stricter than HTMLParser's — anything outside it makes
-# the fast path bail to the reference parser.
+# values may contain '>'; unquoted '<' is NOT allowed — HTMLParser
+# treats such tags as bogus text, so the fast path must bail there),
+# optional self-closing slash.  Tag-name charset is stricter than
+# HTMLParser's — anything outside it makes the fast path bail to the
+# reference parser, as does an attribute section that doesn't start
+# with whitespace or '/' (see _fast_parts).
 _TAG_RE = re.compile(
     r"<(/?)([a-zA-Z][a-zA-Z0-9:_-]*)"
-    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>"
+    r"((?:[^<>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>"
 )
 _CDATA_CLOSE = {
     "script": re.compile(r"</\s*script(?=[\s/>])", re.I),
@@ -137,6 +140,10 @@ def _fast_parts(html: str):
         if m is None:
             return None  # stray '<' or unterminated tag
         end_slash, name, _attrs, self_close = m.groups()
+        if _attrs and _attrs[0] not in " \t\n\r\f/":
+            # junk glued to the tag name (<E'...>): HTMLParser's
+            # tolerant scanner may call this bogus data — reference only
+            return None
         tag = name.lower()
         if end_slash:
             if tag in _SKIP_SUBTREES:

@@ -96,6 +96,8 @@ def run_pipeline(
     store: StageStore | None = None,
     salt_partitions: int = 8,
     include_sentence_text: bool = True,
+    score_threshold: float | None = None,
+    driver_max_surfaces: int | None = None,
 ) -> Dict[str, DataFrame]:
     """Run (or resume) the full pipeline; returns all stage DataFrames.
 
@@ -138,17 +140,27 @@ def run_pipeline(
         )
         triples = plane_triples(plane)
         mentions = plane_mentions(plane)
-        labeled = canonicalize_surfaces(spark, mentions).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        labeled = canonicalize_surfaces(
+            spark, mentions, driver_max_surfaces=driver_max_surfaces
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     else:
         docs = store.run("docs", lambda: clean_pages(pages))
         sentences = store.run("sentences", lambda: segment_sentences(docs))
         triples = store.run("triples", lambda: extract_triples_fused(sentences))
         mentions = store.run("mentions", lambda: detect_mentions(sentences))
         labeled = store.run(
-            "surfaces", lambda: canonicalize_surfaces(spark, mentions)
+            "surfaces",
+            lambda: canonicalize_surfaces(
+                spark, mentions, driver_max_surfaces=driver_max_surfaces
+            ),
         )
+
+    if score_threshold is not None:
+        # extra T3 cut over the kernel's own threshold (conf
+        # pred_threshold analog) — applied before dedup/graph use
+        from pyspark.sql import functions as F
+
+        triples = triples.where(F.col("score") >= F.lit(score_threshold))
 
     def stage(name: str, fn, partition_by=None) -> DataFrame:
         if store is None:
