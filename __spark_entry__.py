@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-entry(spark)   -> flagship KG-construction query on synthetic pages +
-                  sf0.001 documents.
+entry(spark)   -> flagship KG-construction query on a deterministic
+                  synthetic pages corpus (no external inputs).
 queries()      -> one callable per implemented operator family from
                   SURVEY.md §2 (+ the training-data-pipeline ops).
 oracle_sql()   -> DuckDB-equivalent SQL for every SQL-expressible query

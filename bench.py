@@ -34,7 +34,7 @@ N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
 # the scaling run needs a compute-dominated input: small corpora measure
 # scheduler overhead, not scaling (56 core-seconds of work cannot show
 # a 4x speedup on a job with ~5s of fixed per-run cost)
-SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "1600000"))
+SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "3200000"))
 # N and 4N parallelism levels for the scaling evidence.  Default 4->16:
 # a measured pure-Python multiprocessing control shows this sandbox VM
 # itself scales 8->32 workers at only ~0.88 efficiency (memory
@@ -44,6 +44,10 @@ SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "1600000"))
 SCALE_CORES = tuple(
     int(c) for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", "4,16").split(",")
 )
+# timed repetitions per parallelism level (median reported): the VM's
+# ambient noise produces occasional 1.5-2x outliers, so more reps give
+# a stabler median at the cost of wall time
+SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
 
 # headline subset of __spark_entry__.queries(): the KG flagship plus one
 # representative per operator family (agg / join / pairgen / window /
@@ -163,7 +167,7 @@ def bench_scale(n_pages: int, update_baseline: bool = False) -> dict:
         spark.range(1000).selectExpr("sum(id)").collect()  # warm-up
         _run_kg(spark, max(200, n_pages // 10))  # warm run (JVM/codegen)
         times, n_triples = [], 0
-        for _ in range(3):
+        for _ in range(SCALE_RUNS):
             sec, n_triples = _run_kg(spark, n_pages)
             times.append(sec)
         sec = statistics.median(times)
