@@ -14,7 +14,7 @@ the distributed DataFrame equivalent that must agree with them.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, Sequence, Tuple
 
 Triple = Tuple[str, str, str]  # (subj, pred, obj) — or any hashable triple
 

@@ -280,6 +280,31 @@ def ngrams(tokens: Sequence[str], n: int) -> List[str]:
     return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
 
 
+def chunk_windows(
+    items: Sequence,
+    window: int,
+    stride: int | None = None,
+    drop_last: bool = False,
+) -> List[List]:
+    """Windowed/strided chunking (W5): exact re-expression of
+    rex/utils/iteration.py:12-28 (windowed_queue_iter), pinned quirks
+    included: falsy stride defaults to window; input no longer than
+    the window is yielded whole exactly once; without ``drop_last``
+    the start index runs to the end, so overlapping strides emit
+    successively SHORTER tail slices (behavior pinned by the
+    reference's tests/utils/test_iteration.py:12-26).  Used for
+    long-document token chunking ahead of fixed-width model UDFs
+    (rex/utils/segmentation.py:93-95 role).
+    """
+    if not stride:
+        stride = window
+    queue = list(items)
+    if len(queue) <= window:
+        return [queue]
+    max_limit = len(queue) - window + 1 if drop_last else len(queue)
+    return [queue[i : i + window] for i in range(0, max_limit, stride)]
+
+
 def char_shingles(text: str, k: int = 3) -> List[str]:
     """Character k-shingles of a casefolded, whitespace-collapsed string
     (entity-surface blocking)."""

@@ -119,3 +119,25 @@ def test_fast_html_path_matches_reference():
     ]
     for c in cases:
         assert html_to_text(c) == _html_to_text_reference(c), c
+
+
+def test_chunk_windows_reference_parity():
+    """Pinned outputs from the reference's tests/utils/test_iteration.py
+    plus the multiple-shrinking-tails quirk."""
+    from rex_spark.kernels.textnorm import chunk_windows
+
+    q = [1, 2, 3, 4, 5]
+    assert chunk_windows(q, 2) == [[1, 2], [3, 4], [5]]
+    assert chunk_windows(q, 2, 1, drop_last=True) == [
+        [1, 2], [2, 3], [3, 4], [4, 5]
+    ]
+    assert chunk_windows(q, 2, 1, drop_last=False) == [
+        [1, 2], [2, 3], [3, 4], [4, 5], [5]
+    ]
+    # short input yields whole once, even empty
+    assert chunk_windows([1], 3) == [[1]]
+    assert chunk_windows([], 3) == [[]]
+    # shrinking tails without drop_last
+    assert chunk_windows(q, 3, 1) == [
+        [1, 2, 3], [2, 3, 4], [3, 4, 5], [4, 5], [5]
+    ]
