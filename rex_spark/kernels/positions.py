@@ -49,6 +49,43 @@ def find_element_in_list(elements: Sequence[Any], element: Any) -> List[int]:
     return [i for i, el in enumerate(elements) if el == element]
 
 
+def piecewise_mask(
+    head_pos: int, tail_pos: int, seq_len: int, max_seq_len: int
+) -> List[int]:
+    """P5: PCNN's three-segment position mask (reference parity:
+    rex/utils/mask.py:1-17, vectors pinned by its tests/utils/
+    test_mask.py): 1 before the first entity position, 2 between the
+    two, 3 from the later one to the sequence end, 0 in the padding
+    tail.  Built from segment boundaries instead of a per-index scan.
+    """
+    if not (0 <= head_pos < seq_len) or not (0 <= tail_pos < seq_len):
+        raise AssertionError("entity positions must lie inside the sequence")
+    lo, hi = sorted((head_pos, tail_pos))
+    b1 = min(lo, max_seq_len)
+    b2 = min(hi, max_seq_len)
+    b3 = min(seq_len, max_seq_len)
+    return (
+        [1] * b1
+        + [2] * (b2 - b1)
+        + [3] * (b3 - b2)
+        + [0] * (max_seq_len - b3)
+    )
+
+
+def pad_tokens(tokens: Sequence, max_len: int, pad_token) -> List:
+    """P6: truncate-then-pad to ``max_len``
+    (rex/data/vocab.py:28-32 semantics)."""
+    out = list(tokens[:max_len])
+    return out + [pad_token] * (max_len - len(out))
+
+
+def pad_mask(token_len: int, max_len: int) -> List[int]:
+    """P6: 1 for real positions, 0 for padding
+    (rex/data/vocab.py:21-25 semantics)."""
+    n = min(token_len, max_len)
+    return [1] * n + [0] * (max_len - n)
+
+
 def pair_start_end(
     start_label: Sequence[int], end_label: Sequence[int]
 ) -> List[Tuple[int, int]]:

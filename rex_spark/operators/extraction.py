@@ -90,6 +90,17 @@ def detect_mentions(sentences: DataFrame) -> DataFrame:
     )
 
 
+def filter_valid_mentions(
+    mentions: DataFrame, max_seq_len: int
+) -> tuple[DataFrame, DataFrame]:
+    """P9 (rex/data/transforms/sent_re.py:44-58): drop mentions whose
+    span exceeds the model's max sequence length.  Returns
+    (kept, dropped); count the dropped side into stage metrics — the
+    reference logs exactly that drop count per transform."""
+    fits = F.col("end") <= max_seq_len
+    return mentions.where(fits), mentions.where(~fits)
+
+
 def candidate_pairs(mentions: DataFrame, max_pairs_per_sentence: int = 400) -> DataFrame:
     """J1: all ordered (head, tail) mention pairs with distinct spans
     within a sentence.

@@ -134,3 +134,29 @@ def test_measure_triple_facets():
 def test_accuracy():
     assert accuracy([1, 2, 3], [1, 2, 4]) == pytest.approx(2 / 3)
     assert accuracy([], []) == 0.0
+
+
+def test_piecewise_mask_reference_vectors():
+    """Pinned vectors from the reference's tests/utils/test_mask.py."""
+    import pytest
+
+    from rex_spark.kernels.positions import piecewise_mask
+
+    assert piecewise_mask(2, 7, 10, 15) == [1,1,2,2,2,2,2,3,3,3,0,0,0,0,0]
+    assert piecewise_mask(0, 7, 10, 15) == [2,2,2,2,2,2,2,3,3,3,0,0,0,0,0]
+    assert piecewise_mask(7, 1, 10, 15) == [1,2,2,2,2,2,2,3,3,3,0,0,0,0,0]
+    with pytest.raises(AssertionError):
+        piecewise_mask(-1, 0, 0, 0)
+    with pytest.raises(AssertionError):
+        piecewise_mask(0, -1, 0, 0)
+    # truncation cases (seq longer than max)
+    assert piecewise_mask(1, 3, 10, 5) == [1, 2, 2, 3, 3]
+
+
+def test_pad_kernels():
+    from rex_spark.kernels.positions import pad_mask, pad_tokens
+
+    assert pad_tokens([1, 2, 3], 5, 0) == [1, 2, 3, 0, 0]
+    assert pad_tokens([1, 2, 3, 4, 5, 6], 4, 0) == [1, 2, 3, 4]
+    assert pad_mask(3, 5) == [1, 1, 1, 0, 0]
+    assert pad_mask(9, 4) == [1, 1, 1, 1]
