@@ -221,11 +221,19 @@ def _append_baseline(out: dict) -> None:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
     with open(path) as f:
         text = f.read()
+    # replace ONLY this section: from the marker to the next "## "
+    # heading (an earlier version truncated to end-of-file and silently
+    # ate every section after it)
     marker = "## Measured scaling (bench.py --scale)"
+    tail = ""
     if marker in text:
-        text = text[: text.index(marker)].rstrip() + "\n"
+        start = text.index(marker)
+        nxt = text.find("\n## ", start + len(marker))
+        if nxt != -1:
+            tail = text[nxt + 1 :]
+        text = text[:start].rstrip() + "\n"
     with open(path, "w") as f:
-        f.write(text + "\n".join(lines))
+        f.write(text + "\n".join(lines) + "\n" + tail)
 
 
 def main() -> None:
