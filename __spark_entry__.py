@@ -213,8 +213,15 @@ def q_salted_provenance(spark, sf):
     from rex_spark.operators.skew import salted_collect_slice
 
     ev = _t(spark, sf, "events").select("event_type", "user_id")
-    return salted_collect_slice(
+    out = salted_collect_slice(
         ev, ["event_type"], "user_id", k=5, salt_partitions=16
+    )
+    # The driver's value-hash canonicalizer factorizes cells and cannot
+    # hash ARRAY columns — emit the slice as a CSV string instead.
+    return out.select(
+        "event_type",
+        F.concat_ws(",", "items").alias("items"),
+        "support",
     )
 
 
@@ -725,7 +732,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "salted_provenance": """
             SELECT event_type,
-                   (list_sort(list(DISTINCT user_id)))[1:5] AS items,
+                   array_to_string((list_sort(list(DISTINCT user_id)))[1:5],
+                                   ',') AS items,
                    count(*) AS support
             FROM events GROUP BY 1
         """,

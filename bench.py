@@ -11,10 +11,11 @@ prints ONE JSON line::
 report the north-rule throughput (triples/sec of the KG pipeline).
 
 ``--scale`` mode: runs the SAME KG-construction job on the SAME input at
-two parallelism levels (local[8] vs local[32] — the sandbox stand-in for
-N vs 4N executors per the driver instruction) and prints throughput at
-both plus scaling efficiency = (t_N / t_4N) / 4.  Results are also
-appended to BASELINE.md by ``--scale --update-baseline``.
+two parallelism levels (``$SPARK_GRAFT_SCALE_CORES``, default 4 vs 16 —
+the sandbox stand-in for N vs 4N executors; see the SCALE_CORES comment
+for why not 8 vs 32) and prints throughput at both plus scaling
+efficiency = (t_N / t_4N) / 4.  Results are also appended to BASELINE.md
+by ``--scale --update-baseline``.
 
 Each query is forced end-to-end with the noop sink (full computation,
 no driver-side collect of big results).
@@ -145,7 +146,8 @@ def bench_once() -> dict:
 
 
 def bench_scale(n_pages: int, update_baseline: bool = False) -> dict:
-    """Same job, same input, local[8] vs local[32] (N vs 4N).
+    """Same job, same input, at the SPARK_GRAFT_SCALE_CORES pair
+    (default local[4] vs local[16] — N vs 4N).
 
     Median of 3 timed runs per parallelism level: the sandbox VM's GC
     and scheduling noise produce occasional 2x outliers that would

@@ -109,9 +109,14 @@ _TAG_RE = re.compile(
     r"<(/?)([a-zA-Z][a-zA-Z0-9:_-]*)"
     r"((?:[^<>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>"
 )
+# HTMLParser's endtagfind only accepts '</ name >' (optional whitespace)
+# as a CDATA terminator; '</script foo>' / '</script/>' are swallowed as
+# CDATA data and the parser STAYS in CDATA mode — so the fast path must
+# only leave CDATA on a bare close tag.  (A matched '</ script >' with
+# inner whitespace then fails _TAG_RE and falls back to the reference.)
 _CDATA_CLOSE = {
-    "script": re.compile(r"</\s*script(?=[\s/>])", re.I),
-    "style": re.compile(r"</\s*style(?=[\s/>])", re.I),
+    "script": re.compile(r"</\s*script(?=\s*>)", re.I),
+    "style": re.compile(r"</\s*style(?=\s*>)", re.I),
 }
 
 

@@ -282,10 +282,12 @@ def connected_components(
     lineage (REx's pickle-cache analog for iterative state) and gives
     the optimizer fresh statistics per round.  Convergence is detected
     by an order-independent (count, hash-sum) digest of the edge set —
-    a single aggregation per round instead of two exceptAll jobs; a
-    digest collision (astronomically unlikely with xxhash64) could only
-    stop one round early, never corrupt labels, because a stable star
-    forest maps to itself under further rounds.
+    a single aggregation per round instead of two exceptAll jobs.  A
+    digest collision between two DIFFERENT edge sets would stop the
+    loop before convergence and could yield wrong labels; with a
+    64-bit hash-sum the per-round collision probability is ~2^-64,
+    which we accept in exchange for halving the per-round job count
+    (an exact exceptAll check would double it back).
     """
     canon = (
         edges.select(
@@ -428,11 +430,17 @@ def canonicalize_surfaces(
     # so the mention scan + surface groupBy runs once, not four times.
     nodes = surface_nodes(mentions).persist(StorageLevel.MEMORY_AND_DISK)
     comp, _iters = connected_components(similarity_edges(spark, nodes))
-    return (
+    labeled = (
         nodes.join(comp, "node_id", "left")
         .withColumn("entity_id", F.coalesce("component", "node_id"))
         .select("surface", "freq", "node_id", "entity_id")
+        # surface-vocab-sized (one row per surface, not per mention):
+        # materialize eagerly so the nodes cache can be released now
+        # instead of leaking across repeated calls in one session.
+        .localCheckpoint(eager=True)
     )
+    nodes.unpersist()
+    return labeled
 
 
 def entities_from_labeled(labeled: DataFrame) -> DataFrame:

@@ -27,8 +27,10 @@ _DEFAULTS = {
     # local mode: driver == executor, and Spark's 1g default heap makes
     # every cache/broadcast GC-bound (and 32 threads in a 1 GiB heap
     # anti-scales).  On a cluster this maps to ordinary
-    # executor/driver memory sizing via spark-submit.
-    "spark.driver.memory": "24g",
+    # executor/driver memory sizing via spark-submit.  Overridable via
+    # SPARK_GRAFT_DRIVER_MEM for hosts with less RAM (the 24g default
+    # assumes the 128 GiB bench sandbox).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     # throughput-oriented GC: G1's pause-time goal costs repeated
     # full-heap churn on Arrow-batch-heavy UDF stages (observed 2x+
     # CPU inflation on identical reruns); the batch pipeline has no

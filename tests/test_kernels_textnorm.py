@@ -116,6 +116,14 @@ def test_fast_html_path_matches_reference():
         "<noscript><p>no</p></noscript><p>yes</p>",
         "<script src='x.js'/>visible<p>z</p>",
         "<style>@media (a<b) {}</style><p>m</p>",
+        # bogus close tags must NOT terminate CDATA (HTMLParser's
+        # endtagfind only matches '</ name >'):
+        "<script>x</script foo><p>A</p></script><p>B</p>",
+        "<script>x</script/><p>A</p></script><p>B</p>",
+        "<style>a</style id=1><p>A</p></style><p>B</p>",
+        "<script>x</script\t\n><p>ws-close</p>",
+        "<script>x</script",
+        "<style>y</style  >z<p>w</p>",
     ]
     for c in cases:
         assert html_to_text(c) == _html_to_text_reference(c), c

@@ -33,6 +33,10 @@ _tag_soup = st.lists(
                 "<script>", "</script>", "<style>", "</style>", "<b>", "</b>",
                 "<P >", "</P>", "<a href='/x?a=1&b=2'>", "</a>", "<svg>",
                 "</svg>", "<li>", "</li>", "<td >", "</td>",
+                # bogus CDATA terminators: HTMLParser stays in CDATA on
+                # these, so the fast path must too
+                "</script foo>", "</script/>", "</style id=1>",
+                "</script  >", "</ script>", "</scriptx>",
             ]
         ),
         st.text(
