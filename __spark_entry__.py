@@ -8,15 +8,19 @@ oracle_sql()   -> DuckDB-equivalent SQL for every SQL-expressible query
                   (same column names; aggregates rounded identically on
                   both sides so value-hashes match).
 
-Non-SQL-expressible entries (KG pipeline, MinHash/SimHash/LSH, UDF
-feature extraction) intentionally have no oracle -> rows-only check;
-their correctness gates live in tests/ (in-process reference extractor
-parity, exact-vs-probabilistic dedup agreement, brute-force-vs-LSH
-recall).
+Every queries() entry has an oracle.  Queries whose semantics are not
+SQL-expressible from the raw tables alone (KG pipeline, MinHash/SimHash
+banding, seeded LSH buckets, asset feature UDFs) use MATERIALIZED GOLD:
+the frozen in-process scalar kernels run on the driver and write
+parquet under oracle_gold/, and the DuckDB SQL performs the relational
+part (band joins, verification, ranking) over those files — certifying
+that the distributed orchestration reproduces the scalar composition
+exactly (see rex_spark/oracle_gold.py).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,6 +30,12 @@ from pyspark.sql import Window
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# The sf dir the driver's DuckDB comparison runs at: oracle SQL for the
+# materialized-gold queries (rex_spark/oracle_gold.py) embeds parquet
+# paths generated from THIS dir's inputs.
+ORACLE_SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 # ---------------------------------------------------------------------------
@@ -320,9 +330,13 @@ def q_exact_dedup(spark, sf):
 
 
 def q_ngram_jaccard(spark, sf):
+    """Stop-shingle-capped form (max_df) — the web-scale default; the
+    cap is mirrored in the DuckDB oracle's postings CTE."""
     from rex_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, threshold=0.5)
+    return ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), n=3, threshold=0.5, max_df=50
+    )
 
 
 def q_minhash_lsh(spark, sf):
@@ -338,6 +352,17 @@ def q_simhash(spark, sf):
 
 
 def q_embedding_neardup(spark, sf):
+    """LSH-bucketed near-dup (the scale default): candidates from
+    shared hyperplane buckets, verified by exact cosine.  Oracle
+    mirrors the bucketing via the materialized bucket assignment."""
+    from rex_spark.operators.similarity import embedding_neardup_lsh
+
+    return embedding_neardup_lsh(_t(spark, sf, "embeddings"), threshold=0.9)
+
+
+def q_embedding_neardup_brute(spark, sf):
+    """Brute-force O(n^2) verifier form (kept oracle-checked to pin the
+    bucketed default against an exact all-pairs SQL)."""
     from rex_spark.operators.dedup import embedding_neardup_pairs
 
     return embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.9)
@@ -491,8 +516,9 @@ def q_fingerprints(spark, sf):
 
 
 # ---------------------------------------------------------------------------
-# KG pipeline ops (synthetic pages; no SQL oracle -> rows-only checks,
-# correctness gated by tests/test_pipeline_e2e.py)
+# KG pipeline ops (synthetic pages; oracle = materialized gold from the
+# in-process scalar composition — rex_spark/oracle_gold.py — plus the
+# in-repo gates in tests/test_pipeline_e2e.py)
 # ---------------------------------------------------------------------------
 
 def q_kg_triples(spark, sf):
@@ -539,7 +565,10 @@ def q_asset_features(spark, sf):
     from rex_spark.operators.multimodal import extract_features, make_assets
 
     return extract_features(make_assets(spark, 120)).select(
-        "asset_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 4).alias("f0")
+        "asset_id",
+        "kind",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 4).cast("double").alias("f0"),
     )
 
 
@@ -577,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_brute": q_embedding_neardup_brute,
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ner_decode_sql": q_ner_decode_sql,
@@ -792,15 +822,18 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
                  sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM toks),
                  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+                 kept AS (SELECT shingle FROM sh
+                          GROUP BY shingle HAVING count(*) <= 50),
+                 post AS (SELECT sh.* FROM sh JOIN kept USING (shingle)),
                  common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-                            FROM sh x JOIN sh y USING (shingle)
+                            FROM post x JOIN post y USING (shingle)
                             WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
             SELECT a, b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
             FROM common JOIN sizes sa ON sa.doc_id = a
                         JOIN sizes sb ON sb.doc_id = b
             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
         """,
-        "embedding_neardup": """
+        "embedding_neardup_brute": """
             SELECT x.vec_id AS a, y.vec_id AS b,
                    round(CAST(list_cosine_similarity(
                      CAST(x.embedding AS DOUBLE[]),
@@ -1003,7 +1036,107 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprints": f"SELECT doc_id, md5({_NORM}) AS fp_md5 FROM documents",
-        # no oracle entries (rows-only driver check, gated by tests/):
-        # minhash_lsh, simhash, lsh_ann_topk, kg_triples, kg_entities,
-        # kg_edges, kg_casrel, asset_features, asset_stats
+        **_materialized_gold_oracles(),
+    }
+
+
+def _materialized_gold_oracles() -> dict[str, str]:
+    """Oracles for the queries whose semantics are not SQL-expressible
+    from the raw tables alone: the frozen scalar kernels run in-process
+    and materialize gold (or the minimal intermediate, e.g. band keys)
+    to parquet, and these SQL strings do the RELATIONAL part in DuckDB.
+    See rex_spark/oracle_gold.py for what each green row certifies."""
+    from rex_spark import oracle_gold as og
+
+    kg = og.ensure_kg_gold()
+    dd = og.ensure_dedup_gold(ORACLE_SF)
+    ann = og.ensure_ann_gold(ORACLE_SF)
+    assets = og.ensure_asset_gold()
+    return {
+        "kg_triples": f"""
+            SELECT url, subj, pred, obj FROM read_parquet('{kg["triples"]}')
+        """,
+        "kg_entities": f"""
+            SELECT canonical, n_surfaces, n_mentions
+            FROM read_parquet('{kg["entities"]}')
+        """,
+        "kg_edges": f"""
+            SELECT pred, support FROM read_parquet('{kg["edges"]}')
+        """,
+        "kg_casrel": f"""
+            SELECT url, subj, pred, obj FROM read_parquet('{kg["casrel"]}')
+        """,
+        "minhash_lsh": f"""
+            WITH bands AS (SELECT * FROM read_parquet('{dd["mh_bands"]}')),
+                 post AS (SELECT * FROM read_parquet('{dd["mh_shingles"]}')),
+                 sizes AS (SELECT doc_id, count(*) AS n FROM post GROUP BY 1),
+                 cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                          FROM bands x JOIN bands y USING (band_id, band_key)
+                          WHERE x.doc_id < y.doc_id),
+                 common AS (SELECT p.doc_id AS a, q.doc_id AS b, count(*) AS c
+                            FROM post p JOIN post q USING (shingle)
+                            JOIN cand ON cand.a = p.doc_id AND cand.b = q.doc_id
+                            GROUP BY 1, 2)
+            SELECT a, b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+            FROM common JOIN sizes sa ON sa.doc_id = a
+                        JOIN sizes sb ON sb.doc_id = b
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+        """,
+        "simhash": f"""
+            WITH s AS (SELECT * FROM read_parquet('{dd["simhash"]}')),
+                 cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                                 x.simhash AS ha, y.simhash AS hb
+                          FROM s x JOIN s y USING (chunk_id, chunk)
+                          WHERE x.doc_id < y.doc_id)
+            SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+            FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        """,
+        "lsh_ann_topk": f"""
+            WITH b AS (SELECT * FROM read_parquet('{ann["ann_buckets"]}')),
+                 q AS (SELECT vec_id AS query_id, table_id, bucket
+                       FROM b WHERE vec_id < 10),
+                 cand AS (SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+                          FROM b JOIN q USING (table_id, bucket)
+                          WHERE b.vec_id != q.query_id),
+                 scored AS (SELECT query_id, neighbor_id,
+                              round(CAST(list_cosine_similarity(
+                                CAST(qe.embedding AS DOUBLE[]),
+                                CAST(ne.embedding AS DOUBLE[])) AS DOUBLE), 6)
+                                AS cosine
+                            FROM cand
+                            JOIN embeddings qe ON qe.vec_id = cand.query_id
+                            JOIN embeddings ne ON ne.vec_id = cand.neighbor_id)
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        "embedding_neardup": f"""
+            WITH b AS (SELECT * FROM read_parquet('{ann["ann_buckets"]}')),
+                 cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+                          FROM b x JOIN b y USING (table_id, bucket)
+                          WHERE x.vec_id < y.vec_id)
+            SELECT a, b,
+                   round(CAST(list_cosine_similarity(
+                     CAST(ea.embedding AS DOUBLE[]),
+                     CAST(eb.embedding AS DOUBLE[])) AS DOUBLE), 6) AS cosine
+            FROM cand JOIN embeddings ea ON ea.vec_id = a
+                      JOIN embeddings eb ON eb.vec_id = b
+            WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])) >= 0.9
+        """,
+        "asset_features": f"""
+            SELECT asset_id, kind, n_bytes, f0
+            FROM read_parquet('{assets["asset_features"]}')
+        """,
+        "asset_stats": f"""
+            SELECT kind, count(*) AS n_assets,
+                   CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+                   round(avg(width), 4) AS avg_width,
+                   round(avg(duration_ms), 4) AS avg_duration_ms
+            FROM read_parquet('{assets["assets_meta"]}')
+            GROUP BY kind
+        """,
     }

@@ -94,23 +94,41 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.5
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard >= threshold pairs via inverted index.
 
     Scale shape: |postings| = sum of per-doc distinct shingles; the
     self-join meets only docs sharing a shingle (never all-pairs), and
-    AQE skew-join splits hot shingles.  Stop-shingle capping (drop
-    shingles appearing in > maxdf docs) would bound worst case at web
-    scale; left uncapped here because the oracle must match exactly.
+    AQE skew-join splits hot shingles.
+
+    ``max_df`` is the stop-shingle cap: a shingle appearing in more
+    than ``max_df`` documents is dropped from the POSTINGS before the
+    self-join (per-doc sizes keep the full shingle set, so reported
+    Jaccard can only be under-estimated, never inflated).  At web
+    scale this is load-bearing — one stopword shingle shared by d
+    documents otherwise yields d^2 join rows — and a pair that
+    overlaps ONLY on stop-shingles is noise, not a near-duplicate.
+    None = exact (the verifier form).
     """
     sh = documents.select(
         "doc_id", F.explode(_shingles(F.col("text"), n)).alias("shingle")
     ).dropDuplicates(["doc_id", "shingle"])
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    a = sh.select(F.col("doc_id").alias("a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    postings = sh
+    if max_df is not None:
+        # df count + rejoin share the shingle-key shuffle with the
+        # self-join below (co-partitioned, no extra exchange round)
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        postings = sh.join(
+            df_counts.where(F.col("df") <= max_df).select("shingle"), "shingle"
+        )
+    a = postings.select(F.col("doc_id").alias("a"), "shingle")
+    b = postings.select(F.col("doc_id").alias("b"), "shingle")
     common = (
         a.join(b, "shingle")
         .where(F.col("a") < F.col("b"))

@@ -84,6 +84,51 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 1227) -> np.ndarray:
     return vals.reshape(n_planes, dim)
 
 
+def bucketed(
+    e: DataFrame, n_planes: int = 4, n_tables: int = 16, dim: int = 64
+) -> DataFrame:
+    """_normed() rows -> one row per (vec_id, table_id, bucket):
+    sign-pattern bucket in each of ``n_tables`` hyperplane tables, all
+    arithmetic JVM-side (the plane weights are literals in the plan)."""
+
+    def bucket_cols():
+        cols = []
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed=1227 + t)
+            bits = [
+                F.when(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"),
+                            F.array(*[F.lit(float(w)) for w in planes[p]]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    >= 0,
+                    F.lit(1 << p),
+                ).otherwise(F.lit(0))
+                for p in range(n_planes)
+            ]
+            acc = bits[0]
+            for bcol in bits[1:]:
+                acc = acc + bcol
+            cols.append(acc.alias(f"bucket_{t}"))
+        return cols
+
+    tagged = e.select("vec_id", "v", "norm", *bucket_cols())
+    bucket_structs = F.array(
+        *[
+            F.struct(F.lit(t).alias("table_id"), F.col(f"bucket_{t}").alias("bucket"))
+            for t in range(n_tables)
+        ]
+    )
+    return tagged.select(
+        "vec_id", "v", "norm", F.explode(bucket_structs).alias("tb")
+    ).select("vec_id", "v", "norm", "tb.table_id", "tb.bucket")
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -103,44 +148,7 @@ def lsh_ann_topk(
     clustered real embeddings raise ``n_planes`` to shrink buckets;
     candidate cost stays ~n_tables * bucket_size per query either way.
     """
-    e = _normed(embeddings)
-
-    def bucket_cols(prefix: str):
-        cols = []
-        for t in range(n_tables):
-            planes = _hyperplanes(dim, n_planes, seed=1227 + t)
-            bits = [
-                F.when(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col(f"{prefix}v"),
-                            F.array(*[F.lit(float(w)) for w in planes[p]]),
-                            lambda a, b: a * b,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    >= 0,
-                    F.lit(1 << p),
-                ).otherwise(F.lit(0))
-                for p in range(n_planes)
-            ]
-            acc = bits[0]
-            for bcol in bits[1:]:
-                acc = acc + bcol
-            cols.append(acc.alias(f"bucket_{t}"))
-        return cols
-
-    tagged = e.select("vec_id", "v", "norm", *bucket_cols(""))
-    bucket_structs = F.array(
-        *[
-            F.struct(F.lit(t).alias("table_id"), F.col(f"bucket_{t}").alias("bucket"))
-            for t in range(n_tables)
-        ]
-    )
-    exploded = tagged.select(
-        "vec_id", "v", "norm", F.explode(bucket_structs).alias("tb")
-    ).select("vec_id", "v", "norm", "tb.table_id", "tb.bucket")
+    exploded = bucketed(_normed(embeddings), n_planes, n_tables, dim)
 
     q = exploded.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
@@ -168,4 +176,47 @@ def lsh_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_neardup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs at cosine >= threshold, LSH-bucketed.
+
+    The 100 TB default: candidates only meet inside a shared
+    (table, bucket) — cost O(n x tables x bucket_size), never
+    all-pairs — then exact cosine verifies each candidate.  At high
+    thresholds the miss probability per pair is
+    (1 - (1-theta/pi)^planes)^tables (~2e-6 at cosine 0.9 with the
+    defaults), so output matches dedup.embedding_neardup_pairs (the
+    brute-force verifier) with overwhelming probability; tests pin
+    equality on the synthetic tables.
+    """
+    exploded = bucketed(_normed(embeddings), n_planes, n_tables, dim)
+    slim = exploded.select("vec_id", "table_id", "bucket")
+    cand = (
+        slim.alias("x")
+        .join(slim.alias("y"), ["table_id", "bucket"])
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    e = _normed(embeddings)
+    ea = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
+                  F.col("norm").alias("na"))
+    eb = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+                  F.col("norm").alias("nb"))
+    return (
+        cand.join(ea, "a")
+        .join(eb, "b")
+        .withColumn(
+            "cosine", _cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
     )

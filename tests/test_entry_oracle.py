@@ -54,12 +54,9 @@ ROWS_ONLY = sorted(set(ALL_QUERIES) - set(ORACLES))
 def test_oracle_coverage():
     # every oracle key must have a query
     assert not set(ORACLES) - set(ALL_QUERIES)
-    # the rows-only set is exactly the documented non-SQL-expressible ops
-    assert ROWS_ONLY == [
-        "asset_features", "asset_stats", "kg_casrel", "kg_edges",
-        "kg_entities", "kg_triples", "lsh_ann_topk", "minhash_lsh",
-        "simhash",
-    ]
+    # every query has an oracle (materialized gold covers the
+    # non-SQL-expressible ones — rex_spark/oracle_gold.py)
+    assert ROWS_ONLY == []
 
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
