@@ -420,6 +420,81 @@ def q_mrc_union(spark, sf):
     )
 
 
+def q_crf_decode(spark, sf):
+    """M7: constrained-Viterbi repair of deliberately ILLEGAL greedy
+    emissions (I-ENT top-scored at run starts), then span decode — the
+    legal optimum is exactly the BIO tagging, so the spans match the
+    ner_decode oracle."""
+    from rex_spark.operators.ner import flag_spans
+
+    return flag_spans(_t(spark, sf, "documents"), min_len=6, via="viterbi").select(
+        "doc_id",
+        "ent_type",
+        F.col("start").cast("long").alias("start_pos"),
+        F.col("end").cast("long").alias("end_pos"),
+        "surface",
+    )
+
+
+def q_span_matrix(spark, sf):
+    """M5+W4: GlobalPointer-style span-matrix scorer stand-in decoded
+    by the pointer-matrix kernel — every sub-span of each maximal
+    length-band run, truncated at max_len."""
+    from rex_spark.operators.span_matrix import global_pointer_extract
+
+    return global_pointer_extract(
+        _t(spark, sf, "documents"),
+        {"LONG": (7, 99), "MID": (5, 6)},
+        max_len=64,
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_multi_hot(spark, sf):
+    """P8: per-user multi-hot of observed event types over the fixed
+    label vocabulary (emitted as a CSV string for the driver hash)."""
+    from rex_spark.operators.encoding import multi_hot_encode
+
+    out = multi_hot_encode(
+        _t(spark, sf, "events"), ["user_id"], "event_type", EVENT_TYPES
+    )
+    return out.select(
+        "user_id",
+        F.concat_ws(",", F.col("multi_hot").cast("array<string>")).alias(
+            "multi_hot"
+        ),
+        "n_labels",
+    )
+
+
+_MRC_PRED_BANDS = {"LONG": (7, 99), "MID": (5, 6)}
+_MRC_GOLD_BANDS = {"LONG": (6, 99), "MID": (5, 6)}
+
+
+def q_mrc_overlap(spark, sf):
+    """A10 overlap metric (rex/metrics/mrc_ner.py): two MRC fan-out
+    runs with different LONG bands scored per-type + macro + micro."""
+    from rex_spark.operators.metrics import mrc_overlap_prf1
+    from rex_spark.operators.ner import mrc_fanout_union
+
+    d = _t(spark, sf, "documents")
+    out = mrc_overlap_prf1(
+        mrc_fanout_union(d, _MRC_PRED_BANDS),
+        mrc_fanout_union(d, _MRC_GOLD_BANDS),
+    )
+    return out.select(
+        "ent_type",
+        F.round("p", 6).alias("p"),
+        F.round("r", 6).alias("r"),
+        F.round("f1", 6).alias("f1"),
+        "tp",
+        "fp",
+        "fn",
+    )
+
+
 def q_bag_grouped(spark, sf):
     """M2 GROUPED_MAP surface: applyInPandas bag scorer (same result
     as bag_attention, checked against the same SQL oracle)."""
@@ -611,6 +686,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ner_decode_sql": q_ner_decode_sql,
         "ner_decode_udf": q_ner_decode_udf,
+        "crf_decode": q_crf_decode,
+        "span_matrix": q_span_matrix,
+        "multi_hot": q_multi_hot,
+        "mrc_overlap": q_mrc_overlap,
         "bag_grouped": q_bag_grouped,
         "mrc_union": q_mrc_union,
         "confusion": q_confusion,
@@ -646,6 +725,69 @@ _STOPWORDS_SQL = (
     "['a','and','das','der','die','el','es','est','et','is','la','las',"
     "'le','les','los','nicht','of','the','to','una','und','une','y','ist']"
 )
+
+# BIO run decode over length-flagged tokens (shared by the ner_decode /
+# crf_decode oracles: the Viterbi-repaired path decodes to the same runs)
+_NER_RUNS_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+         pos AS (SELECT doc_id, unnest(t) AS token,
+                        unnest(range(len(t))) AS pos
+                 FROM toks),
+         flags AS (SELECT doc_id, pos, token,
+                          length(token) >= 6 AS f,
+                          coalesce(lag(length(token) >= 6) OVER (
+                            PARTITION BY doc_id ORDER BY pos), false) AS pf
+                   FROM pos),
+         runs AS (SELECT doc_id, pos, token, f,
+                         sum(CASE WHEN f AND NOT pf THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+                  FROM flags)
+    SELECT doc_id, 'ENT' AS ent_type,
+           min(pos) AS start_pos, max(pos) + 1 AS end_pos,
+           string_agg(token, ' ' ORDER BY pos) AS surface
+    FROM runs WHERE f
+    GROUP BY doc_id, run_id
+"""
+
+
+def _band_runs_sql(bands: dict[str, tuple[int, int]], max_pos: int | None = None) -> str:
+    """Subquery producing (doc_id, ent_type, start_pos, end_pos) maximal
+    length-band runs — the SQL mirror of mrc_fanout_union /
+    global_pointer_extract's flagging (optionally truncated at max_pos)."""
+    vals = ", ".join(
+        f"('{t}', {lo}, {hi})" for t, (lo, hi) in sorted(bands.items())
+    )
+    cut = f"WHERE p.pos < {max_pos}" if max_pos is not None else ""
+    return f"""
+        SELECT DISTINCT doc_id, ent_type,
+               min(pos) AS start_pos, max(pos) + 1 AS end_pos
+        FROM (
+          SELECT doc_id, ent_type, pos, f,
+                 sum(boundary) OVER (
+                   PARTITION BY doc_id, ent_type ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM (
+            SELECT doc_id, ent_type, pos, f,
+                   CASE WHEN f AND NOT coalesce(
+                          lag(f) OVER (PARTITION BY doc_id, ent_type
+                                       ORDER BY pos), false)
+                        THEN 1 ELSE 0 END AS boundary
+            FROM (
+              SELECT p.doc_id, b.ent_type, p.pos,
+                     length(p.token) BETWEEN b.lo AND b.hi AS f
+              FROM (SELECT doc_id, unnest(t) AS token,
+                           unnest(range(len(t))) AS pos
+                    FROM (SELECT doc_id, {_TOKS} AS t FROM documents)) p
+              CROSS JOIN (SELECT * FROM (VALUES {vals})
+                          AS b(ent_type, lo, hi)) b
+              {cut}
+            )
+          )
+        )
+        WHERE f
+        GROUP BY doc_id, ent_type, run_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -857,47 +999,67 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             WHERE rank <= 5
         """,
-        "ner_decode_sql": f"""
-            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-                 pos AS (SELECT doc_id, unnest(t) AS token,
-                                unnest(range(len(t))) AS pos
-                         FROM toks),
-                 flags AS (SELECT doc_id, pos, token,
-                                  length(token) >= 6 AS f,
-                                  coalesce(lag(length(token) >= 6) OVER (
-                                    PARTITION BY doc_id ORDER BY pos), false) AS pf
-                           FROM pos),
-                 runs AS (SELECT doc_id, pos, token, f,
-                                 sum(CASE WHEN f AND NOT pf THEN 1 ELSE 0 END)
-                                   OVER (PARTITION BY doc_id ORDER BY pos
-                                         ROWS UNBOUNDED PRECEDING) AS run_id
-                          FROM flags)
-            SELECT doc_id, 'ENT' AS ent_type,
-                   min(pos) AS start_pos, max(pos) + 1 AS end_pos,
-                   string_agg(token, ' ' ORDER BY pos) AS surface
-            FROM runs WHERE f
-            GROUP BY doc_id, run_id
+        "ner_decode_sql": _NER_RUNS_SQL,
+        "ner_decode_udf": _NER_RUNS_SQL,
+        "crf_decode": _NER_RUNS_SQL,
+        "span_matrix": f"""
+            WITH runs0 AS ({_band_runs_sql({"LONG": (7, 99), "MID": (5, 6)},
+                                           max_pos=64)}),
+                 s_exp AS (SELECT doc_id, ent_type, end_pos,
+                                  unnest(range(start_pos, end_pos)) AS s
+                           FROM runs0),
+                 e_exp AS (SELECT doc_id, ent_type, s,
+                                  unnest(range(s + 1, end_pos + 1)) AS e
+                           FROM s_exp)
+            SELECT doc_id, ent_type, s AS start_pos, e AS end_pos FROM e_exp
         """,
-        "ner_decode_udf": f"""
-            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-                 pos AS (SELECT doc_id, unnest(t) AS token,
-                                unnest(range(len(t))) AS pos
-                         FROM toks),
-                 flags AS (SELECT doc_id, pos, token,
-                                  length(token) >= 6 AS f,
-                                  coalesce(lag(length(token) >= 6) OVER (
-                                    PARTITION BY doc_id ORDER BY pos), false) AS pf
-                           FROM pos),
-                 runs AS (SELECT doc_id, pos, token, f,
-                                 sum(CASE WHEN f AND NOT pf THEN 1 ELSE 0 END)
-                                   OVER (PARTITION BY doc_id ORDER BY pos
-                                         ROWS UNBOUNDED PRECEDING) AS run_id
-                          FROM flags)
-            SELECT doc_id, 'ENT' AS ent_type,
-                   min(pos) AS start_pos, max(pos) + 1 AS end_pos,
-                   string_agg(token, ' ' ORDER BY pos) AS surface
-            FROM runs WHERE f
-            GROUP BY doc_id, run_id
+        "multi_hot": f"""
+            SELECT user_id,
+                   array_to_string([{", ".join(
+                     f"CASE WHEN bool_or(event_type = '{t}') THEN 1 ELSE 0 END"
+                     for t in EVENT_TYPES)}], ',') AS multi_hot,
+                   CAST(count(DISTINCT event_type) AS INTEGER) AS n_labels
+            FROM events GROUP BY user_id
+        """,
+        "mrc_overlap": f"""
+            WITH pred AS ({_band_runs_sql(_MRC_PRED_BANDS)}),
+                 gold AS ({_band_runs_sql(_MRC_GOLD_BANDS)}),
+                 j AS (SELECT coalesce(p.ent_type, g.ent_type) AS ent_type,
+                              (p.doc_id IS NOT NULL) AS in_p,
+                              (g.doc_id IS NOT NULL) AS in_g
+                       FROM pred p FULL JOIN gold g
+                         ON p.doc_id = g.doc_id AND p.ent_type = g.ent_type
+                        AND p.start_pos = g.start_pos
+                        AND p.end_pos = g.end_pos),
+                 c AS (SELECT ent_type,
+                              CAST(sum(CASE WHEN in_p AND in_g THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                              CAST(sum(CASE WHEN in_p AND NOT in_g THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                              CAST(sum(CASE WHEN NOT in_p AND in_g THEN 1 ELSE 0 END) AS BIGINT) AS fn
+                       FROM j GROUP BY 1),
+                 per AS (SELECT ent_type, tp, fp, fn,
+                                CASE WHEN tp+fp = 0 THEN 0.0 ELSE tp*1.0/(tp+fp) END AS p,
+                                CASE WHEN tp+fn = 0 THEN 0.0 ELSE tp*1.0/(tp+fn) END AS r
+                         FROM c),
+                 per2 AS (SELECT *,
+                                 CASE WHEN p+r = 0 THEN 0.0
+                                      ELSE 2*p*r/(p+r) END AS f1
+                          FROM per)
+            SELECT ent_type, round(p, 6) AS p, round(r, 6) AS r,
+                   round(f1, 6) AS f1, tp, fp, fn
+            FROM per2
+            UNION ALL
+            SELECT 'macro', round(avg(p), 6), round(avg(r), 6),
+                   round(avg(f1), 6), sum(tp), sum(fp), sum(fn)
+            FROM per2
+            UNION ALL
+            SELECT 'micro', round(p, 6), round(r, 6),
+                   round(CASE WHEN p+r = 0 THEN 0.0 ELSE 2*p*r/(p+r) END, 6),
+                   tp, fp, fn
+            FROM (SELECT tp, fp, fn,
+                         CASE WHEN tp+fp = 0 THEN 0.0 ELSE tp*1.0/(tp+fp) END AS p,
+                         CASE WHEN tp+fn = 0 THEN 0.0 ELSE tp*1.0/(tp+fn) END AS r
+                  FROM (SELECT sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn
+                        FROM per2))
         """,
         "mrc_union": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

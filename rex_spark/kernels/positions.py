@@ -86,6 +86,40 @@ def pad_mask(token_len: int, max_len: int) -> List[int]:
     return [1] * n + [0] * (max_len - n)
 
 
+def decode_pointer_matrix(mat, offset: int = 0) -> List[Tuple[int, int, int]]:
+    """W4: multi-class pointer-matrix decode — re-expression of
+    rex/utils/position.py:119-132 (decode_multi_class_pointer_mat_span)
+    for ONE instance.
+
+    ``mat[cls][s][e] == 1`` marks a span; output is
+    ``(s - offset, e + 1 - offset, cls)`` in torch-nonzero order
+    (class asc, then row-major inside each class).  The single-class
+    form (rex/utils/position.py:104-116) is ``cls`` fixed at 0.
+    """
+    out: List[Tuple[int, int, int]] = []
+    for cls, plane in enumerate(mat):
+        for s, row in enumerate(plane):
+            for e, v in enumerate(row):
+                if v == 1:
+                    out.append((s - offset, e + 1 - offset, cls))
+    return out
+
+
+def one_hot(label_id: int, num_tags: int) -> List[int]:
+    """P8: rex/data/label_encoder.py:65-68 (convert_to_one_hot)."""
+    out = [0] * num_tags
+    out[label_id] = 1
+    return out
+
+
+def multi_hot(label_ids: Sequence[int], num_tags: int) -> List[int]:
+    """P8: rex/data/label_encoder.py:59-63 (convert_to_multi_hot)."""
+    out = [0] * num_tags
+    for label_id in label_ids:
+        out[label_id] = 1
+    return out
+
+
 def pair_start_end(
     start_label: Sequence[int], end_label: Sequence[int]
 ) -> List[Tuple[int, int]]:

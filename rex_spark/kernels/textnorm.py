@@ -310,6 +310,38 @@ def chunk_windows(
     return [queue[i : i + window] for i in range(0, max_limit, stride)]
 
 
+def split_list_by_element(
+    elements: Sequence,
+    delimiter,
+    keep_empty_segments: bool = False,
+) -> List[List]:
+    """Split a list on every occurrence of ``delimiter`` (W6): exact
+    re-expression of rex/utils/segmentation.py:82-100
+    (split_list_by_element, pinned by its tests/utils/
+    test_segmentation.py:26-31), quirks included:
+
+    - no delimiter present -> ``[elements]`` unfiltered, so an empty
+      input returns ``[[]]`` even without ``keep_empty_segments``;
+    - with ``keep_empty_segments`` a leading/trailing/adjacent
+      delimiter yields empty segments (the reference builds segments
+      between consecutive delimiter positions via the same windowed
+      iteration as :func:`chunk_windows`).
+    """
+    elements = list(elements)
+    pos = [i for i, el in enumerate(elements) if el == delimiter]
+    if not pos:
+        return [elements]
+    if len(elements) not in pos:
+        pos.append(len(elements))
+    res = [elements[: pos[0]]]
+    for batch in chunk_windows(pos, 2, 1, drop_last=False):
+        if len(batch) == 2:
+            res.append(elements[batch[0] + 1 : batch[1]])
+    if keep_empty_segments:
+        return res
+    return [seg for seg in res if seg]
+
+
 def char_shingles(text: str, k: int = 3) -> List[str]:
     """Character k-shingles of a casefolded, whitespace-collapsed string
     (entity-surface blocking)."""

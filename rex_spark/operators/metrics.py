@@ -30,27 +30,42 @@ def _safe_div(num, den):
     return F.when(den == 0, F.lit(0.0)).otherwise(num / den)
 
 
+def _overlap_counts(p: DataFrame, g: DataFrame, on: list, label) -> DataFrame:
+    """One-row (facet/label, tp, fp, fn) via a single full-outer join —
+    no driver-side .count() jobs; unioned facet aggregates compute in
+    one Spark job when the result is forced."""
+    j = p.withColumn("_p", F.lit(1)).join(
+        g.withColumn("_g", F.lit(1)), on, "full_outer"
+    )
+    both = (F.col("_p").isNotNull() & F.col("_g").isNotNull()).cast("long")
+    only_p = (F.col("_p").isNotNull() & F.col("_g").isNull()).cast("long")
+    only_g = (F.col("_p").isNull() & F.col("_g").isNotNull()).cast("long")
+    return j.agg(
+        label.alias("facet"),
+        F.coalesce(F.sum(both), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum(only_p), F.lit(0)).alias("fp"),
+        F.coalesce(F.sum(only_g), F.lit(0)).alias("fn"),
+    )
+
+
 def triple_prf1(
     pred: DataFrame, gold: DataFrame, instance_col: str = "url"
 ) -> DataFrame:
     """Faceted P/R/F1 DataFrame: one row per facet.
 
-    pred/gold: (instance_col, subj, pred, obj).  tp per facet = inner
-    join on (instance, projection); fp/fn = anti joins — one pass each,
-    all three reduce to counts (no data movement beyond the join).
+    pred/gold: (instance_col, subj, pred, obj).  Each facet's tp/fp/fn
+    comes from ONE full-outer join aggregate; the four facets union
+    lazily, so forcing the result is a single multi-join job instead of
+    the 12 count jobs a per-metric loop would launch.
     """
-    out = None
+    parts = []
     for facet in ("triple", "subject", "object", "relation"):
         p = _facet_projection(pred, facet, instance_col)
         g = _facet_projection(gold, facet, instance_col)
-        on = [c for c in p.columns]
-        tp = p.join(g, on, "inner").count()
-        fp = p.join(g, on, "left_anti").count()
-        fn = g.join(p, on, "left_anti").count()
-        row = (facet, tp, fp, fn)
-        out = [row] if out is None else out + [row]
-    spark = pred.sparkSession
-    counts = spark.createDataFrame(out, ["facet", "tp", "fp", "fn"])
+        parts.append(_overlap_counts(p, g, list(p.columns), F.lit(facet)))
+    counts = parts[0]
+    for part in parts[1:]:
+        counts = counts.unionByName(part)
     p_col = _safe_div(F.col("tp"), F.col("tp") + F.col("fp"))
     r_col = _safe_div(F.col("tp"), F.col("tp") + F.col("fn"))
     counts = counts.withColumn("p", p_col).withColumn("r", r_col)
@@ -114,3 +129,39 @@ def tagging_prf1(
     return counts.select("ent_type", "p", "r", "f1", "tp", "fp", "fn").unionByName(
         macro
     )
+
+
+def mrc_overlap_prf1(pred_spans: DataFrame, gold_spans: DataFrame) -> DataFrame:
+    """A10 overlap metric (rex/metrics/mrc_ner.py:24-43): per-doc
+    entity sets (already unioned across type queries, the
+    mrc_fanout_union output shape ``doc_id, ent_type, start_pos,
+    end_pos``) scored at position level with tagging_prf1's
+    micro-per-type + macro semantics."""
+    ren = lambda df: (  # noqa: E731
+        df.withColumnRenamed("start_pos", "start").withColumnRenamed(
+            "end_pos", "end"
+        )
+    )
+    base = tagging_prf1(ren(pred_spans), ren(gold_spans), instance_col="doc_id")
+    # reference also reports micro (global tp/fp/fn) alongside macro
+    micro = (
+        base.where(F.col("ent_type") != "macro")
+        .agg(
+            F.sum("tp").alias("tp"),
+            F.sum("fp").alias("fp"),
+            F.sum("fn").alias("fn"),
+        )
+        .select(
+            F.lit("micro").alias("ent_type"),
+            _safe_div(F.col("tp"), F.col("tp") + F.col("fp")).alias("p"),
+            _safe_div(F.col("tp"), F.col("tp") + F.col("fn")).alias("r"),
+            "tp",
+            "fp",
+            "fn",
+        )
+        .withColumn(
+            "f1", _safe_div(2 * F.col("p") * F.col("r"), F.col("p") + F.col("r"))
+        )
+        .select("ent_type", "p", "r", "f1", "tp", "fp", "fn")
+    )
+    return base.unionByName(micro)

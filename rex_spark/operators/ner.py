@@ -74,6 +74,68 @@ def tag_tokens(documents: DataFrame, min_len: int = 6) -> DataFrame:
     )
 
 
+VITERBI_LABELS = ["O", "B-ENT", "I-ENT"]
+
+
+def tag_emissions(documents: DataFrame, min_len: int = 6) -> DataFrame:
+    """(doc_id, tokens, emissions): per-token label scores for the M7
+    slot — the stand-in tagger emits I-ENT as the TOP score on every
+    flagged token (1.0 > B-ENT 0.9), so the greedy argmax sequence is
+    ILLEGAL at each run start (I after O) and only a
+    transition-constrained decode recovers the BIO-legal path.  Scores
+    are JVM-side literals; label order is VITERBI_LABELS."""
+    toks = _norm_tokens(F.col("text"))
+    flagged = F.array(F.lit(-5.0), F.lit(0.9), F.lit(1.0))
+    plain = F.array(F.lit(1.0), F.lit(-5.0), F.lit(-5.0))
+    em = F.transform(
+        F.col("tokens"),
+        lambda t: F.when(F.length(t) >= min_len, flagged).otherwise(plain),
+    )
+    return documents.select("doc_id", toks.alias("tokens")).select(
+        "doc_id", "tokens", em.alias("emissions")
+    )
+
+
+def viterbi_decode_mentions(
+    scored: DataFrame,
+    labels: list[str] | None = None,
+    scheme: str = "BIO",
+    sep: str = " ",
+) -> DataFrame:
+    """M7: transition-constrained Viterbi over (doc_id, tokens,
+    emissions ARRAY<ARRAY<DOUBLE>>) rows, then the pinned BIO/BMES
+    span decode on the repaired tag sequence.
+
+    The legality mask replicates ConstraintCRF's allowed_transitions
+    (/root/reference/rex/modules/crf.py:10-152); with no learned
+    transition weights the result is the highest-emission LEGAL path,
+    so count_illegal_tags on the output is always 0 (pinned by tests).
+    Narrow (no shuffle), Arrow-batched.
+    """
+    labels = labels or VITERBI_LABELS
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.crf import viterbi_tags
+
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "ent_type", "start", "end", "surface")}
+            for doc_id, tokens, emissions in zip(
+                pdf["doc_id"], pdf["tokens"], pdf["emissions"]
+            ):
+                toks = list(tokens)
+                tags = viterbi_tags([list(e) for e in emissions], labels, scheme)
+                joined = [t + sep for t in toks[:-1]] + toks[-1:] if toks else []
+                for surface, etype, (s, e) in decode_tag_seq(joined, tags):
+                    out["doc_id"].append(doc_id)
+                    out["ent_type"].append(etype)
+                    out["start"].append(s)
+                    out["end"].append(e)
+                    out["surface"].append(surface.rstrip(sep))
+            yield pd.DataFrame(out)
+
+    return scored.mapInPandas(batches, schema=_MENTION_SCHEMA)
+
+
 def decode_mentions_udf(tagged: DataFrame, sep: str = " ") -> DataFrame:
     """W1 pUDF path: BIO/BMES decode kernel over (tokens, tags) rows.
 
@@ -186,7 +248,11 @@ def mrc_fanout_union(documents: DataFrame, type_specs: dict[str, tuple[int, int]
 
 def flag_spans(documents: DataFrame, min_len: int = 6, via: str = "sql") -> DataFrame:
     """documents -> (doc_id, ent_type, start, end, surface) mention
-    spans of consecutive long tokens; ``via`` picks the decode path."""
+    spans of consecutive long tokens; ``via`` picks the decode path
+    ('sql' windows, 'udf' kernel decode, 'viterbi' = M7 constrained
+    repair of deliberately-illegal greedy emissions)."""
+    if via == "viterbi":
+        return viterbi_decode_mentions(tag_emissions(documents, min_len=min_len))
     tagged = tag_tokens(documents, min_len=min_len)
     if via == "udf":
         return decode_mentions_udf(tagged)
