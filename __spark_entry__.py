@@ -653,6 +653,16 @@ def q_asset_stats(spark, sf):
     return asset_stats(make_assets(spark, 120))
 
 
+def q_asset_frames(spark, sf):
+    """Frame-sampling fan-out over timed assets (fixed-size frame rows;
+    payload fingerprinted so the driver hash sees bytes stably)."""
+    from rex_spark.operators.multimodal import make_assets, sample_frames
+
+    return sample_frames(make_assets(spark, 120), every_ms=2000).select(
+        "asset_id", "frame_idx", "t_ms", F.md5("frame").alias("frame_md5")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing": q_agg_pricing,
@@ -705,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_casrel": q_kg_casrel,
         "asset_features": q_asset_features,
         "asset_stats": q_asset_stats,
+        "asset_frames": q_asset_frames,
     }
 
 
@@ -1292,6 +1303,10 @@ def _materialized_gold_oracles() -> dict[str, str]:
         "asset_features": f"""
             SELECT asset_id, kind, n_bytes, f0
             FROM read_parquet('{assets["asset_features"]}')
+        """,
+        "asset_frames": f"""
+            SELECT asset_id, frame_idx, t_ms, frame_md5
+            FROM read_parquet('{assets["asset_frames"]}')
         """,
         "asset_stats": f"""
             SELECT kind, count(*) AS n_assets,

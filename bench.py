@@ -7,8 +7,11 @@ prints ONE JSON line::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is the total wall-clock of the headline queries; extra keys
-report the north-rule throughput (triples/sec of the KG pipeline).
+``value`` is the total wall-clock of the headline queries (per-query
+median of ``$SPARK_GRAFT_BENCH_RUNS`` timed runs, default 3 — this VM
+throws occasional multi-x outliers, see BASELINE.md methodology; the
+per-run detail is reported under ``query_runs``); extra keys report
+the north-rule throughput (triples/sec of the KG pipeline).
 
 ``--scale`` mode: runs the SAME KG-construction job on the SAME input at
 two parallelism levels (``$SPARK_GRAFT_SCALE_CORES``, default 4 vs 16 —
@@ -102,7 +105,16 @@ def _run_kg(spark, n_pages: int) -> tuple[float, int]:
     return elapsed, n_triples
 
 
+# timed repetitions per headline query (median reported): this VM has
+# occasional 2-5x outlier runs even unloaded (BASELINE.md methodology);
+# a single cold sample of the dominant query is a lottery ticket, the
+# per-query median is reproducible.
+BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
 def bench_once() -> dict:
+    import statistics
+
     from rex_spark.session import get_session
 
     import __spark_entry__ as entry_mod
@@ -110,20 +122,34 @@ def bench_once() -> dict:
     spark = get_session(master=f"local[{CPUS}]", app_name="rex_spark_bench")
     qmap = entry_mod.queries()
     timings: dict[str, float] = {}
+    detail: dict[str, list[float]] = {}
 
-    # warm the JVM / Arrow path / Python workers once so the timed
-    # pipeline measures steady state, not one-time init costs.
+    # warm the JVM / Arrow path / Python workers, then one untimed
+    # full-size dry run: C2 JIT on the real 100k-page shapes takes ~2
+    # iterations to settle (first-run wall is ~1.5x steady state), and
+    # the BASELINE targets are steady-state throughput.
     spark.range(1000).selectExpr("sum(id)").collect()
     _run_kg(spark, max(500, N_PAGES // 20))
+    _run_kg(spark, N_PAGES)
 
-    kg_sec, n_triples = _run_kg(spark, N_PAGES)
+    kg_times, n_triples = [], 0
+    for _ in range(BENCH_RUNS):
+        sec, n_triples = _run_kg(spark, N_PAGES)
+        kg_times.append(sec)
+    kg_sec = statistics.median(kg_times)
     timings["kg_pipeline"] = round(kg_sec, 3)
+    detail["kg_pipeline"] = [round(t, 3) for t in kg_times]
 
     for name in HEADLINE:
         fn = qmap[name]
-        t0 = time.perf_counter()
-        _force(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(BENCH_RUNS):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            _force(fn(spark, SF_DIR))
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        detail[name] = [round(t, 3) for t in runs]
 
     total = round(sum(timings.values()), 3)
     sf = 0.1
@@ -136,6 +162,8 @@ def bench_once() -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "agg": f"median_of_{BENCH_RUNS}",
+        "query_runs": detail,
         "sf": sf,
         "kg_pages": N_PAGES,
         "kg_triples": n_triples,
@@ -182,9 +210,17 @@ def bench_scale(n_pages: int, update_baseline: bool = False) -> dict:
         }
         spark.stop()
     eff = (runs[lo]["sec"] / runs[hi]["sec"]) / (hi / lo)
+    # noise-floor estimate: this shared VM's ambient load only ever ADDS
+    # time, so the per-level minimum approximates the uncontended run
+    # and best/best is the least-contaminated efficiency estimate
+    # (median remains the primary, honest-about-noise number).
+    eff_best = (
+        min(runs[lo]["all_runs_sec"]) / min(runs[hi]["all_runs_sec"])
+    ) / (hi / lo)
     out = {
         "metric": f"kg_scaling_efficiency_{lo}_to_{hi}",
         "value": round(eff, 3),
+        "value_best_runs": round(eff_best, 3),
         "unit": "ratio",
         "n_pages": n_pages,
         "runs": runs,
@@ -217,7 +253,9 @@ def _append_baseline(out: dict) -> None:
     lines += [
         "",
         f"**Scaling efficiency {lo}→{hi} cores: {out['value']}** "
-        f"(target ≥ {out['target']}; efficiency = (t_{lo} / t_{hi}) / {hi // lo}).",
+        f"(target ≥ {out['target']}; efficiency = (t_{lo} / t_{hi}) / {hi // lo}; "
+        f"medians).  Best-runs (noise floor, ambient load only adds time): "
+        f"**{out.get('value_best_runs', out['value'])}**.",
         "",
     ]
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")

@@ -42,6 +42,9 @@ def parse_args(argv):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--skip-sentence-text", action="store_true",
                    help="prune sentence text through the UDF (graph outputs only)")
+    p.add_argument("--extractor", choices=("fused", "casrel"), default="fused",
+                   help="triple extraction mechanism: pair scorer (fused) "
+                        "or CasRel-style two-stage pointer decode")
     return p.parse_args(argv)
 
 
@@ -62,6 +65,7 @@ def main(argv=None) -> None:
         "salt_partitions": args.salt_partitions,
         "master": args.master,
         "seed": args.seed,
+        "extractor": args.extractor if args.extractor != "fused" else None,
     }
     cfg = cfg.merged_with({k: v for k, v in cli.items() if v is not None})
     if args.skip_sentence_text:
@@ -94,6 +98,7 @@ def main(argv=None) -> None:
         include_sentence_text=cfg.include_sentence_text,
         score_threshold=cfg.score_threshold,
         driver_max_surfaces=cfg.driver_max_surfaces,
+        extractor=cfg.extractor,
     )
     summary = {
         "triples": result["triple_set"].count(),

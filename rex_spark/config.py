@@ -36,6 +36,9 @@ class PipelineConfig:
     stage_root: str | None = None
     salt_partitions: int = 8
     include_sentence_text: bool = True
+    # triple extraction mechanism for the M1 slot: "fused" pair scorer
+    # or "casrel" two-stage pointer decode (M3)
+    extractor: str = "fused"
     # extra pipeline-level T3 cut on top of the kernel's own threshold
     # (the conf pred_threshold analog); None = kernel threshold only
     score_threshold: float | None = None

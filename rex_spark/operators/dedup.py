@@ -216,7 +216,13 @@ def minhash_lsh_pairs(
     # arrays come from a second Arrow UDF rather than the JVM
     # transform/slice expression: building S slice-and-concat results
     # per document in Catalyst codegen measured ~4x slower than the
-    # same loop in Python for long documents.
+    # same loop in Python for long documents.  Carrying the shingles on
+    # the band rows instead (one UDF pass, canonical.py-style) was
+    # MEASURED SLOWER at sf0.1 (median 1.54s vs 1.46s, 3 runs): the
+    # 32x-duplicated arrays widen the band self-join shuffle by more
+    # than the saved scan — and at web scale that shuffle amplification
+    # only grows, while this design ships shingles solely for the
+    # (small) candidate set.
     def sh_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_ids, out_sh = [], []

@@ -137,31 +137,48 @@ def mrc_overlap_prf1(pred_spans: DataFrame, gold_spans: DataFrame) -> DataFrame:
     mrc_fanout_union output shape ``doc_id, ent_type, start_pos,
     end_pos``) scored at position level with tagging_prf1's
     micro-per-type + macro semantics."""
-    ren = lambda df: (  # noqa: E731
-        df.withColumnRenamed("start_pos", "start").withColumnRenamed(
-            "end_pos", "end"
-        )
+    key = ["doc_id", "ent_type", "start_pos", "end_pos"]
+    j = pred_spans.select(*key).withColumn("_p", F.lit(1)).join(
+        gold_spans.select(*key).withColumn("_g", F.lit(1)), key, "full_outer"
     )
-    base = tagging_prf1(ren(pred_spans), ren(gold_spans), instance_col="doc_id")
-    # reference also reports micro (global tp/fp/fn) alongside macro
-    micro = (
-        base.where(F.col("ent_type") != "macro")
-        .agg(
+    both = (F.col("_p").isNotNull() & F.col("_g").isNotNull()).cast("long")
+    only_p = (F.col("_p").isNotNull() & F.col("_g").isNull()).cast("long")
+    only_g = (F.col("_p").isNull() & F.col("_g").isNotNull()).cast("long")
+    counts = j.groupBy("ent_type").agg(
+        F.coalesce(F.sum(both), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum(only_p), F.lit(0)).alias("fp"),
+        F.coalesce(F.sum(only_g), F.lit(0)).alias("fn"),
+    )
+    # counts is one tiny row per type, but its lineage is the two heavy
+    # fan-out trees; the per-type/macro/micro branches below reference
+    # it three times, so checkpoint it once (a single join job) instead
+    # of recomputing the whole tree per branch.
+    counts = counts.localCheckpoint(eager=True)
+
+    def prf(df):
+        df = df.withColumn(
+            "p", _safe_div(F.col("tp"), F.col("tp") + F.col("fp"))
+        ).withColumn("r", _safe_div(F.col("tp"), F.col("tp") + F.col("fn")))
+        return df.withColumn(
+            "f1", _safe_div(2 * F.col("p") * F.col("r"), F.col("p") + F.col("r"))
+        ).select("ent_type", "p", "r", "f1", "tp", "fp", "fn")
+
+    per_type = prf(counts)
+    macro = per_type.agg(
+        F.lit("macro").alias("ent_type"),
+        F.avg("p").alias("p"),
+        F.avg("r").alias("r"),
+        F.avg("f1").alias("f1"),
+        F.sum("tp").alias("tp"),
+        F.sum("fp").alias("fp"),
+        F.sum("fn").alias("fn"),
+    ).select("ent_type", "p", "r", "f1", "tp", "fp", "fn")
+    micro = prf(
+        counts.agg(
+            F.lit("micro").alias("ent_type"),
             F.sum("tp").alias("tp"),
             F.sum("fp").alias("fp"),
             F.sum("fn").alias("fn"),
         )
-        .select(
-            F.lit("micro").alias("ent_type"),
-            _safe_div(F.col("tp"), F.col("tp") + F.col("fp")).alias("p"),
-            _safe_div(F.col("tp"), F.col("tp") + F.col("fn")).alias("r"),
-            "tp",
-            "fp",
-            "fn",
-        )
-        .withColumn(
-            "f1", _safe_div(2 * F.col("p") * F.col("r"), F.col("p") + F.col("r"))
-        )
-        .select("ent_type", "p", "r", "f1", "tp", "fp", "fn")
     )
-    return base.unionByName(micro)
+    return per_type.unionByName(macro).unionByName(micro)

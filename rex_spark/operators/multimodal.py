@@ -125,6 +125,64 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return src.mapInPandas(feat_batches, schema=FEATURES_SCHEMA)
 
 
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("t_ms", IntegerType(), False),
+        StructField("frame", BinaryType(), False),
+    ]
+)
+
+FRAME_BYTES = 16
+
+
+def _frame_kernel(payload: bytes, duration_ms: int, every_ms: int):
+    """Deterministic frame sampler stand-in: one fixed-size byte window
+    per sample instant, stride derived from the sample time's relative
+    position in the payload.  A real build replaces this with the codec
+    (pyav keyframe seek / torchaudio slice); the (asset, t_ms) ->
+    fixed-size frame row contract is what the pipeline depends on."""
+    n = len(payload)
+    out = []
+    for idx, t in enumerate(range(0, max(duration_ms, 1), every_ms)):
+        off = (t * max(n - FRAME_BYTES, 1)) // max(duration_ms, 1)
+        chunk = payload[off : off + FRAME_BYTES]
+        out.append((idx, t, chunk.ljust(FRAME_BYTES, b"\0")))
+    return out
+
+
+def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Timed assets (audio/video) -> one row per sampled frame.
+
+    Batch shape contract: input (asset_id, kind, payload, duration_ms);
+    output fan-out rows with fixed-size frame payloads — the shape a
+    frame-level feature extractor (extract_features over frames) or a
+    frame dedup consumes.  Image assets (duration NULL) sample exactly
+    one frame at t=0.  Narrow plan: fan-out happens inside the Arrow
+    batch, no shuffle; downstream per-frame work partitions on
+    (asset_id, frame_idx) without ever shuffling whole payloads.
+    """
+    src = assets.select("asset_id", "kind", "payload", "duration_ms")
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, kind, payload, dur in zip(
+                pdf["asset_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
+            ):
+                dur_ms = 1 if (dur is None or pd.isna(dur)) else int(dur)
+                for idx, t, frame in _frame_kernel(
+                    bytes(payload), dur_ms, every_ms
+                ):
+                    rows.append((aid, idx, t, frame))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_idx", "t_ms", "frame"]
+            ).astype({"frame_idx": "int32", "t_ms": "int32"} if rows else {})
+
+    return src.mapInPandas(frame_batches, schema=FRAMES_SCHEMA)
+
+
 def asset_stats(assets: DataFrame) -> DataFrame:
     """Relational metadata rollup (JVM-side): per kind, payload sizes
     and dimension stats — the oracle-able face of the modality table."""

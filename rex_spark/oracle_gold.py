@@ -338,15 +338,18 @@ def ensure_asset_gold(n: int = 120, seed: int = 42) -> Dict[str, str]:
     paths = {
         "assets_meta": os.path.join(GOLD_DIR, "assets_meta.parquet"),
         "asset_features": os.path.join(GOLD_DIR, "asset_features.parquet"),
+        "asset_frames": os.path.join(GOLD_DIR, "asset_frames.parquet"),
     }
     with _lock:
         if "assets" in _done:
             return paths
+        import hashlib
+
         import numpy as np
         import pyarrow as pa
 
         from .kernels.hashing import splitmix64
-        from .operators.multimodal import _KINDS, _feature_kernel
+        from .operators.multimodal import _KINDS, _feature_kernel, _frame_kernel
 
         rows = []
         state = seed
@@ -393,6 +396,23 @@ def ensure_asset_gold(n: int = 120, seed: int = 42) -> Dict[str, str]:
                     ],
                     pa.float64(),
                 ),
+            },
+        )
+        fr_aid, fr_idx, fr_t, fr_md5 = [], [], [], []
+        for i, kind, payload, _w, dur in rows:
+            dur_ms = 1 if dur is None else dur
+            for idx, t, frame in _frame_kernel(payload, dur_ms, 2000):
+                fr_aid.append(i)
+                fr_idx.append(idx)
+                fr_t.append(t)
+                fr_md5.append(hashlib.md5(frame).hexdigest())
+        _write(
+            "asset_frames.parquet",
+            {
+                "asset_id": (fr_aid, pa.int64()),
+                "frame_idx": (fr_idx, pa.int32()),
+                "t_ms": (fr_t, pa.int32()),
+                "frame_md5": (fr_md5, pa.string()),
             },
         )
         _done.add("assets")

@@ -98,6 +98,7 @@ def run_pipeline(
     include_sentence_text: bool = True,
     score_threshold: float | None = None,
     driver_max_surfaces: int | None = None,
+    extractor: str = "fused",
 ) -> Dict[str, DataFrame]:
     """Run (or resume) the full pipeline; returns all stage DataFrames.
 
@@ -111,6 +112,13 @@ def run_pipeline(
     share one computation — the in-memory analog of the stage
     checkpoints.  Both paths run identical kernels and are pinned
     equal by tests/test_pipeline_e2e.py.
+
+    ``extractor`` picks the triple-extraction mechanism filling the M1
+    slot: ``"fused"`` (pair scorer, default) or ``"casrel"`` (the
+    M3/W2 two-stage pointer decode, operators/pointer_extraction.py —
+    same stage interface, P/R >= 0.95 agreement pinned by tests).  The
+    casrel path always runs the composable stages (its decoder is not
+    part of the fused plane kernel).
     """
     from pyspark import StorageLevel
 
@@ -121,7 +129,29 @@ def run_pipeline(
         plane_triples,
     )
 
-    if store is None:
+    if extractor not in ("fused", "casrel"):
+        raise ValueError(f"unknown extractor: {extractor!r}")
+    if extractor == "casrel":
+        from .operators.pointer_extraction import casrel_extract
+
+        def run(name, fn, **kw):
+            return fn() if store is None else store.run(name, fn, **kw)
+
+        docs = run("docs", lambda: clean_pages(pages))
+        sentences = run("sentences", lambda: segment_sentences(docs))
+        if store is None:
+            sentences = sentences.persist(StorageLevel.MEMORY_AND_DISK)
+        triples = run("triples", lambda: casrel_extract(sentences))
+        mentions = run("mentions", lambda: detect_mentions(sentences))
+        labeled = run(
+            "surfaces",
+            lambda: canonicalize_surfaces(
+                spark, mentions, driver_max_surfaces=driver_max_surfaces
+            ),
+        )
+        if store is None:
+            labeled = labeled.persist(StorageLevel.MEMORY_AND_DISK)
+    elif store is None:
         plane = extract_plane(pages, include_text=include_sentence_text).persist(
             StorageLevel.MEMORY_AND_DISK
         )

@@ -1,5 +1,6 @@
 from .incremental import (  # noqa: F401
-    stream_pages,
     incremental_triples,
+    running_surface_state,
+    stream_pages,
     triple_counts_by_window,
 )

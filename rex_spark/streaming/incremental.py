@@ -74,6 +74,91 @@ def incremental_triples(
     return writer.start()
 
 
+def running_surface_state(
+    pages_stream: DataFrame,
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per mention
+    surface, a running (n_mentions, n_docs_seen, first_us, last_us)
+    maintained across micro-batches — the incremental analog of the
+    batch graph plane's surface_nodes frequency table, and the state a
+    continuously-updating entity canonicalizer reads.
+
+    The reference has no streaming analog (its datasets are static);
+    this is the Spark-native design: per-key state lives in the state
+    store (checkpointed, restart-safe), each micro-batch's mention rows
+    fold into it, and the operator emits the UPDATED state row per key
+    per batch (outputMode update).  State size is bounded by the
+    surface vocabulary — the same gazetteer-bounded vs open-vocabulary
+    trade documented for the batch canonicalizer.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..kernels.extractor import extract_mentions
+
+    sentences = segment_sentences(clean_pages(pages_stream))
+
+    def mention_batches(batches):
+        for pdf in batches:
+            rows = []
+            for url, wts, tokens in zip(
+                pdf["url"], pdf["warc_ts"], pdf["tokens"]
+            ):
+                us = int(pd.Timestamp(wts).value // 1000)
+                for surface, _et, _s, _e in extract_mentions(list(tokens)):
+                    rows.append((surface, url, us))
+            yield pd.DataFrame(rows, columns=["surface", "url", "warc_us"])
+
+    mentions = sentences.select("url", "warc_ts", "tokens").mapInPandas(
+        mention_batches, schema="surface string, url string, warc_us long"
+    )
+
+    out_schema = (
+        "surface string, n_mentions long, n_docs long, "
+        "first_us long, last_us long"
+    )
+    state_schema = "n long, n_docs long, first_us long, last_us long"
+
+    def fold(key, pdfs, state: GroupState):
+        n_new, docs_new, lo, hi = 0, set(), None, None
+        for pdf in pdfs:
+            n_new += len(pdf)
+            if len(pdf):
+                docs_new.update(pdf["url"])
+                bl, bh = int(pdf["warc_us"].min()), int(pdf["warc_us"].max())
+                lo = bl if lo is None else min(lo, bl)
+                hi = bh if hi is None else max(hi, bh)
+        if state.exists:
+            n0, d0, f0, l0 = state.get
+        else:
+            n0, d0, f0, l0 = 0, 0, None, None
+        n = n0 + n_new
+        # exact for a file-drop source: each url is ingested in exactly
+        # one micro-batch, so per-batch distinct urls never double-count
+        n_docs = d0 + len(docs_new)
+        first = f0 if lo is None or (f0 is not None and f0 <= lo) else lo
+        last = l0 if hi is None or (l0 is not None and l0 >= hi) else hi
+        state.update((n, n_docs, first, last))
+        yield pd.DataFrame(
+            {
+                "surface": [key[0]],
+                "n_mentions": [n],
+                "n_docs": [n_docs],
+                "first_us": [first],
+                "last_us": [last],
+            }
+        )
+
+    return mentions.groupBy("surface").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def triple_counts_by_window(
     pages_stream: DataFrame,
     window: str = "1 hour",

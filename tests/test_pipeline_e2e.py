@@ -206,6 +206,31 @@ def test_fused_plane_matches_composable_stages(spark):
     )
 
 
+def test_run_pipeline_casrel_extractor(spark):
+    """extractor='casrel' swaps the M1 slot for the pointer decoder:
+    the pipeline's triple set equals a direct casrel_extract, and the
+    graph plane still materializes."""
+    from rex_spark.operators.pointer_extraction import casrel_extract
+    from rex_spark.operators.textplane import clean_pages, segment_sentences
+
+    pages = build_pages_df(spark, 60, seed=42)
+    r = run_pipeline(spark, pages, store=None, extractor="casrel")
+    key = ["url", "subj", "pred", "obj"]
+    got = {tuple(x) for x in r["triple_set"].select(*key).collect()}
+    want = {
+        tuple(x)
+        for x in casrel_extract(segment_sentences(clean_pages(pages)))
+        .select(*key)
+        .distinct()
+        .collect()
+    }
+    assert got == want and got
+    assert r["entities"].count() > 0 and r["edges"].count() > 0
+
+    with pytest.raises(ValueError):
+        run_pipeline(spark, pages, store=None, extractor="nope")
+
+
 def test_casrel_pointer_path_agrees_with_pair_scorer(spark):
     """The CasRel-style pointer decode (M3+W2) must agree with the
     pair-scoring extractor at P/R >= 0.95 on document triple sets

@@ -12,6 +12,7 @@ from rex_spark.operators.textplane import clean_pages, segment_sentences
 from rex_spark.pipeline import build_pages_df
 from rex_spark.streaming import (
     incremental_triples,
+    running_surface_state,
     stream_pages,
     triple_counts_by_window,
 )
@@ -69,6 +70,54 @@ def test_stream_matches_batch(spark, pages_dir, tmp_path):
     assert spark.read.parquet(out).count() == len(
         spark.read.parquet(out).collect()
     ) == streamed.count()
+
+
+def test_running_surface_state(spark, pages_dir, tmp_path):
+    """The applyInPandasWithState fold must converge to the batch
+    surface frequency table across micro-batches (outputMode update
+    emits one row per touched key per batch; the last row per key is
+    the final state)."""
+    from pyspark.sql import functions as F
+
+    from rex_spark.operators.extraction import detect_mentions
+
+    q = (
+        running_surface_state(
+            stream_pages(spark, pages_dir, max_files_per_trigger=1)
+        )
+        .writeStream.format("memory")
+        .queryName("surface_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    # update mode appends each batch's state row; the max n_mentions per
+    # surface is the final fold (counts only grow)
+    got = {
+        r["surface"]: (r["n_mentions"], r["n_docs"])
+        for r in spark.sql(
+            """SELECT surface, max(n_mentions) AS n_mentions,
+                      max(n_docs) AS n_docs
+               FROM surface_state GROUP BY surface"""
+        ).collect()
+    }
+    assert got, "stateful op emitted nothing"
+
+    batch_mentions = detect_mentions(
+        segment_sentences(clean_pages(build_pages_df(spark, N_PAGES, seed=42)))
+    )
+    want = {
+        r["surface"]: (r["n"], r["n_docs"])
+        for r in batch_mentions.groupBy("surface")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("url").alias("n_docs"),
+        )
+        .collect()
+    }
+    assert got == want
 
 
 def test_windowed_counts(spark, pages_dir, tmp_path):
