@@ -85,3 +85,13 @@ def test_salted_collect_slice_matches_unsalted(spark):
     rb = {r["key"]: (list(r["items"]), r["support"]) for r in b.collect()}
     assert ra == rb
     assert ra["hub"][1] == 5000 and len(ra["hub"][0]) == 5
+
+    # the GROUPED_MAP form (no JVM partials — the case the salt is FOR)
+    # must produce the identical contract, salted and direct
+    from rex_spark.operators.skew import salted_udf_collect_slice
+
+    c = salted_udf_collect_slice(df, ["key"], "item", k=5, salt_partitions=0)
+    d = salted_udf_collect_slice(df, ["key"], "item", k=5, salt_partitions=16)
+    rc = {r["key"]: (list(r["items"]), r["support"]) for r in c.collect()}
+    rd = {r["key"]: (list(r["items"]), r["support"]) for r in d.collect()}
+    assert rc == ra and rd == ra
