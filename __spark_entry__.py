@@ -495,6 +495,76 @@ def q_mrc_overlap(spark, sf):
     )
 
 
+def q_chunk_windows(spark, sf):
+    """W5: windowed chunking of each document's token list (window 32,
+    stride 24, reference quirks incl. shrinking tails) — kernel in a
+    mapInPandas, run shape oracle-checked in SQL."""
+    import pandas as pd
+
+    def batches(it):
+        from rex_spark.kernels.textnorm import chunk_windows
+
+        for pdf in it:
+            rows = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                for i, chunk in enumerate(chunk_windows(list(toks), 32, 24)):
+                    rows.append((doc_id, i, len(chunk)))
+            yield pd.DataFrame(rows, columns=["doc_id", "chunk_id", "chunk_len"])
+
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    return (
+        d.select("doc_id", toks.alias("tokens"))
+        .mapInPandas(batches, schema="doc_id long, chunk_id int, chunk_len int")
+    )
+
+
+def q_split_segments(spark, sf):
+    """W6: split each document's token list on the delimiter token
+    'the' (keep_empty_segments=False) -> one row per segment."""
+    import pandas as pd
+
+    def batches(it):
+        from rex_spark.kernels.textnorm import split_list_by_element
+
+        for pdf in it:
+            rows = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                segs = split_list_by_element(list(toks), "the")
+                for i, seg in enumerate(segs, start=1):
+                    rows.append((doc_id, i, len(seg), seg[0] if seg else None))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "seg_id", "seg_len", "first_token"]
+            )
+
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    return (
+        d.select("doc_id", toks.alias("tokens"))
+        .mapInPandas(
+            batches,
+            schema="doc_id long, seg_id int, seg_len int, first_token string",
+        )
+    )
+
+
+def q_salted_provenance_udf(spark, sf):
+    """J7 GROUPED_MAP form: same contract as salted_provenance through
+    the pandas-UDAF path (the shape with no JVM partials — where the
+    salt is load-bearing; see tools/skew_bench.py).  Same oracle."""
+    from rex_spark.operators.skew import salted_udf_collect_slice
+
+    ev = _t(spark, sf, "events").select("event_type", "user_id")
+    out = salted_udf_collect_slice(
+        ev, ["event_type"], "user_id", k=5, salt_partitions=16
+    )
+    return out.select(
+        "event_type",
+        F.concat_ws(",", "items").alias("items"),
+        "support",
+    )
+
+
 def q_bag_grouped(spark, sf):
     """M2 GROUPED_MAP surface: applyInPandas bag scorer (same result
     as bag_attention, checked against the same SQL oracle)."""
@@ -658,7 +728,9 @@ def q_asset_frames(spark, sf):
     payload fingerprinted so the driver hash sees bytes stably)."""
     from rex_spark.operators.multimodal import make_assets, sample_frames
 
-    return sample_frames(make_assets(spark, 120), every_ms=2000).select(
+    # 500ms sampling: the synthetic durations (1001-1119ms) then yield 3
+    # frames per timed asset, exercising the fan-out, 1 per image
+    return sample_frames(make_assets(spark, 120), every_ms=500).select(
         "asset_id", "frame_idx", "t_ms", F.md5("frame").alias("frame_md5")
     )
 
@@ -678,6 +750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf1": q_prf1,
         "accuracy": q_accuracy,
         "salted_provenance": q_salted_provenance,
+        "salted_provenance_udf": q_salted_provenance_udf,
+        "chunk_windows": q_chunk_windows,
+        "split_segments": q_split_segments,
         "dict_encode": q_dict_encode,
         "vocab": q_vocab,
         "label_count": q_label_count,
@@ -920,6 +995,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS support
             FROM events GROUP BY 1
         """,
+        "salted_provenance_udf": """
+            SELECT event_type,
+                   array_to_string((list_sort(list(DISTINCT user_id)))[1:5],
+                                   ',') AS items,
+                   count(*) AS support
+            FROM events GROUP BY 1
+        """,
         "dict_encode": f"""
             SELECT CAST(row_number() OVER (ORDER BY freq DESC, token ASC)
                         AS INTEGER) AS token_id,
@@ -1009,6 +1091,40 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "chunk_windows": f"""
+            WITH toks AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
+                 starts AS (SELECT doc_id, n,
+                                   unnest(range(0,
+                                     CASE WHEN n <= 32 THEN 1 ELSE n END,
+                                     24)) AS s
+                            FROM toks)
+            SELECT doc_id,
+                   CAST(s / 24 AS INTEGER) AS chunk_id,
+                   CAST(least(32, n - s) AS INTEGER) AS chunk_len
+            FROM starts
+        """,
+        "split_segments": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+                 pos AS (SELECT doc_id, unnest(t) AS token,
+                                unnest(range(len(t))) AS pos
+                         FROM toks),
+                 flags AS (SELECT doc_id, pos, token,
+                                  token = 'the' AS d,
+                                  coalesce(lag(token = 'the') OVER (
+                                    PARTITION BY doc_id ORDER BY pos),
+                                    true) AS pd
+                           FROM pos),
+                 runs AS (SELECT doc_id, pos, token, d,
+                                 sum(CASE WHEN NOT d AND pd THEN 1 ELSE 0 END)
+                                   OVER (PARTITION BY doc_id ORDER BY pos
+                                         ROWS UNBOUNDED PRECEDING) AS seg_id
+                          FROM flags)
+            SELECT doc_id, CAST(seg_id AS INTEGER) AS seg_id,
+                   CAST(count(*) AS INTEGER) AS seg_len,
+                   min_by(token, pos) AS first_token
+            FROM runs WHERE NOT d
+            GROUP BY doc_id, seg_id
         """,
         "ner_decode_sql": _NER_RUNS_SQL,
         "ner_decode_udf": _NER_RUNS_SQL,

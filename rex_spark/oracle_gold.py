@@ -401,7 +401,7 @@ def ensure_asset_gold(n: int = 120, seed: int = 42) -> Dict[str, str]:
         fr_aid, fr_idx, fr_t, fr_md5 = [], [], [], []
         for i, kind, payload, _w, dur in rows:
             dur_ms = 1 if dur is None else dur
-            for idx, t, frame in _frame_kernel(payload, dur_ms, 2000):
+            for idx, t, frame in _frame_kernel(payload, dur_ms, 500):
                 fr_aid.append(i)
                 fr_idx.append(idx)
                 fr_t.append(t)

@@ -86,6 +86,26 @@ def test_rows_only_queries_run(spark, name):
     assert df.columns
 
 
+def test_no_query_emits_nested_columns(spark):
+    """The driver's value-hash canonicalizer factorizes cells with
+    pandas and cannot handle ARRAY/MAP/STRUCT cells (round-1's only
+    red row was exactly this).  Every query must emit atomic columns
+    only — stringify nested values at the query surface."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = {}
+    for name, fn in ALL_QUERIES.items():
+        schema = fn(spark, SF_DIR).schema
+        nested = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if nested:
+            bad[name] = nested
+    assert not bad, f"nested output columns would break the driver hash: {bad}"
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
