@@ -25,6 +25,25 @@ def test_jsonlines_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
+def test_jsonlines_gzip(spark, tmp_path):
+    """Compressed jsonl reads transparently (the Common-Crawl-adjacent
+    shape: WET/jsonl drops arrive gzipped; Spark's codec dispatch is by
+    extension, so the same reader covers both)."""
+    import gzip
+    import json as _json
+
+    from rex_spark.io.readers import read_jsonlines
+
+    p = tmp_path / "part-000.jsonl.gz"
+    rows = [{"id": i, "text": f"doc {i}"} for i in range(50)]
+    with gzip.open(p, "wt") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    got = read_jsonlines(spark, str(p))
+    assert got.count() == 50
+    assert {r["id"] for r in got.collect()} == set(range(50))
+
+
 def test_delimited_with_and_without_header(spark, tmp_path):
     p = tmp_path / "t.tsv"
     p.write_text("a\t1\nb\t2\n")
