@@ -124,26 +124,30 @@ def _fast_parts(html: str):
     """Single-pass tag scanner; returns the same parts stream the
     HTMLParser path produces, or None when the input uses constructs
     (comments, doctype, PI, CDATA blocks, exotic tag syntax) where
-    only the reference parser guarantees identical behavior."""
+    only the reference parser guarantees identical behavior.
+
+    Implementation: one C-level ``finditer`` over the tag regex; any
+    ``<`` that survives in the text BETWEEN matches is, by
+    construction, a construct the regex refused (stray ``<``,
+    unterminated tag, ``<!``/``<?``, a bogus CDATA close) -> bail to
+    the reference parser.  CDATA regions advance ``pos``/``skip_to``
+    past the content so their ``<`` bytes are never inspected (the
+    reference jumps the same way)."""
     parts: List[str] = []
     append = parts.append
     skip_depth = 0
-    i, n = 0, len(html)
+    pos, n = 0, len(html)
+    skip_to = 0
     has_amp = "&" in html
-    while i < n:
-        lt = html.find("<", i)
-        if lt == -1:
-            if skip_depth == 0:
-                append(html[i:])
-            break
-        if lt > i and skip_depth == 0:
-            append(html[i:lt])
-        nxt = html[lt + 1] if lt + 1 < n else ""
-        if nxt in ("!", "?"):
-            return None  # comment / doctype / PI -> reference parser
-        m = _TAG_RE.match(html, lt)
-        if m is None:
-            return None  # stray '<' or unterminated tag
+    for m in _TAG_RE.finditer(html):
+        start = m.start()
+        if start < skip_to:
+            continue  # inside a CDATA region already consumed
+        gap = html[pos:start]
+        if "<" in gap:
+            return None  # stray '<' / '<!' / '<?' / unterminated tag
+        if gap and skip_depth == 0:
+            append(gap)
         end_slash, name, _attrs, self_close = m.groups()
         if _attrs and _attrs[0] not in " \t\n\r\f/":
             # junk glued to the tag name (<E'...>): HTMLParser's
@@ -169,10 +173,17 @@ def _fast_parts(html: str):
                 # nested tag events until the literal close tag
                 c = _CDATA_CLOSE[tag].search(html, m.end())
                 if c is None:
-                    break  # rest is CDATA content of a skipped subtree
-                i = c.start()
+                    # rest is CDATA content of a skipped subtree
+                    pos = n
+                    break
+                pos = skip_to = c.start()
                 continue
-        i = m.end()
+        pos = m.end()
+    tail = html[pos:]
+    if "<" in tail:
+        return None
+    if tail and skip_depth == 0:
+        append(tail)
     if has_amp:
         import html as _html_mod
 
