@@ -1145,7 +1145,9 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string([{", ".join(
                      f"CASE WHEN bool_or(event_type = '{t}') THEN 1 ELSE 0 END"
                      for t in EVENT_TYPES)}], ',') AS multi_hot,
-                   CAST(count(DISTINCT event_type) AS INTEGER) AS n_labels
+                   CAST(count(DISTINCT CASE WHEN event_type IN
+                     ({", ".join(f"'{t}'" for t in EVENT_TYPES)})
+                     THEN event_type END) AS INTEGER) AS n_labels
             FROM events GROUP BY user_id
         """,
         "mrc_overlap": f"""

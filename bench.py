@@ -234,7 +234,6 @@ def bench_scale(n_pages: int, update_baseline: bool = False) -> dict:
 def _append_baseline(out: dict) -> None:
     lo, hi = SCALE_CORES
     lines = [
-        "",
         "## Measured scaling (bench.py --scale)",
         "",
         f"Same KG-construction job, same {out['n_pages']}-page synthetic input,",
@@ -258,22 +257,12 @@ def _append_baseline(out: dict) -> None:
         f"**{out.get('value_best_runs', out['value'])}**.",
         "",
     ]
+    from tools.section_util import replace_section
+
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
-    with open(path) as f:
-        text = f.read()
-    # replace ONLY this section: from the marker to the next "## "
-    # heading (an earlier version truncated to end-of-file and silently
-    # ate every section after it)
-    marker = "## Measured scaling (bench.py --scale)"
-    tail = ""
-    if marker in text:
-        start = text.index(marker)
-        nxt = text.find("\n## ", start + len(marker))
-        if nxt != -1:
-            tail = text[nxt + 1 :]
-        text = text[:start].rstrip() + "\n"
-    with open(path, "w") as f:
-        f.write(text + "\n".join(lines) + "\n" + tail)
+    replace_section(
+        path, "## Measured scaling (bench.py --scale)", "\n".join(lines) + "\n"
+    )
 
 
 def main() -> None:

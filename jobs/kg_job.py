@@ -42,9 +42,10 @@ def parse_args(argv):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--skip-sentence-text", action="store_true",
                    help="prune sentence text through the UDF (graph outputs only)")
-    p.add_argument("--extractor", choices=("fused", "casrel"), default="fused",
-                   help="triple extraction mechanism: pair scorer (fused) "
-                        "or CasRel-style two-stage pointer decode")
+    p.add_argument("--extractor", choices=("fused", "casrel"), default=None,
+                   help="triple extraction mechanism: pair scorer (fused, "
+                        "the config default) or CasRel-style two-stage "
+                        "pointer decode; an explicit flag overrides yaml")
     return p.parse_args(argv)
 
 
@@ -65,7 +66,7 @@ def main(argv=None) -> None:
         "salt_partitions": args.salt_partitions,
         "master": args.master,
         "seed": args.seed,
-        "extractor": args.extractor if args.extractor != "fused" else None,
+        "extractor": args.extractor,
     }
     cfg = cfg.merged_with({k: v for k, v in cli.items() if v is not None})
     if args.skip_sentence_text:

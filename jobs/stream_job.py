@@ -50,7 +50,11 @@ def main(argv=None) -> None:
         available_now=not args.follow,
     )
     q.awaitTermination()
-    n = spark.read.parquet(args.output_dir).count()
+    # a drain that saw zero new files never creates the output dir
+    try:
+        n = spark.read.parquet(args.output_dir).count()
+    except Exception:
+        n = 0
     print(json.dumps({"triples_rows": n, "output": args.output_dir}))
 
 

@@ -96,7 +96,9 @@ def salted_udf_collect_slice(
     )
 
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
-        items = sorted(pdf[item_col].unique().tolist())
+        # dropna: the JVM twin's collect_set drops NULL items while
+        # still counting the rows — keep the two paths in lockstep
+        items = sorted(pdf[item_col].dropna().unique().tolist())
         row = {c: [pdf[c].iloc[0]] for c in keys}
         # direct form can truncate in-group; salted must keep the full
         # bucket-distinct set so the cross-bucket merge stays exact

@@ -131,6 +131,11 @@ def run_pipeline(
 
     if extractor not in ("fused", "casrel"):
         raise ValueError(f"unknown extractor: {extractor!r}")
+    # extractor-dependent stages carry the extractor in their NAME so a
+    # stage root written with one mechanism never resumes into the other
+    # (extractor-independent stages — docs/sentences/mentions/surfaces/
+    # entities — stay shared and ARE reused across extractors)
+    ext_sfx = "" if extractor == "fused" else f"_{extractor}"
     if extractor == "casrel":
         from .operators.pointer_extraction import casrel_extract
 
@@ -141,7 +146,7 @@ def run_pipeline(
         sentences = run("sentences", lambda: segment_sentences(docs))
         if store is None:
             sentences = sentences.persist(StorageLevel.MEMORY_AND_DISK)
-        triples = run("triples", lambda: casrel_extract(sentences))
+        triples = run(f"triples{ext_sfx}", lambda: casrel_extract(sentences))
         mentions = run("mentions", lambda: detect_mentions(sentences))
         labeled = run(
             "surfaces",
@@ -206,7 +211,7 @@ def run_pipeline(
         lambda: entities_from_labeled(labeled).sortWithinPartitions("entity_id"),
     )
     edges = stage(
-        "edges",
+        f"edges{ext_sfx}",
         lambda: edges_from_labeled(
             labeled, triples, salt_partitions=salt_partitions
         ).sortWithinPartitions("src", "dst"),

@@ -78,13 +78,15 @@ def test_salted_collect_slice_matches_unsalted(spark):
     rng = random.Random(3)
     rows = [("hub", rng.randint(0, 40)) for _ in range(5000)]
     rows += [(f"k{i%7}", rng.randint(0, 1000)) for i in range(300)]
+    rows += [("hub", None), ("k0", None)]  # NULL items: dropped from the
+    # slice (collect_set semantics) but still counted in support
     df = spark.createDataFrame(rows, "key string, item long")
     a = salted_collect_slice(df, ["key"], "item", k=5, salt_partitions=0)
     b = salted_collect_slice(df, ["key"], "item", k=5, salt_partitions=16)
     ra = {r["key"]: (list(r["items"]), r["support"]) for r in a.collect()}
     rb = {r["key"]: (list(r["items"]), r["support"]) for r in b.collect()}
     assert ra == rb
-    assert ra["hub"][1] == 5000 and len(ra["hub"][0]) == 5
+    assert ra["hub"][1] == 5001 and len(ra["hub"][0]) == 5
 
     # the GROUPED_MAP form (no JVM partials — the case the salt is FOR)
     # must produce the identical contract, salted and direct

@@ -79,13 +79,6 @@ def test_query_matches_oracle(spark, duck, name):
     assert canon_s == canon_d, f"{name}: first mismatches {mismatches[:3]}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(spark, name):
-    df = ALL_QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
-    assert df.columns
-
-
 def test_no_query_emits_nested_columns(spark):
     """The driver's value-hash canonicalizer factorizes cells with
     pandas and cannot handle ARRAY/MAP/STRUCT cells (round-1's only

@@ -83,3 +83,41 @@ def test_force_recompute(spark, pages, tmp_path):
         "docs", lambda: pages.select("url", "warc_ts", "lang"), force=True
     )
     assert df.count() == N_PAGES
+
+
+def test_extractor_stages_do_not_cross_resume(spark, pages, tmp_path):
+    """A stage root written with one extractor must not serve its
+    triples/edges to the other (the extractor is part of the stage
+    name); extractor-independent stages ARE shared."""
+    import os
+
+    from rex_spark.pipeline import run_pipeline
+
+    root = str(tmp_path / "stages_x")
+    r_fused = run_pipeline(spark, pages, store=StageStore(spark, root))
+    n_fused = r_fused["triple_set"].count()
+    assert os.path.exists(os.path.join(root, "triples", "_STAGE_COMMITTED"))
+
+    r_cas = run_pipeline(
+        spark, pages, store=StageStore(spark, root), extractor="casrel"
+    )
+    n_cas = r_cas["triple_set"].count()
+    # casrel wrote its OWN stages alongside the fused ones
+    assert os.path.exists(
+        os.path.join(root, "triples_casrel", "_STAGE_COMMITTED")
+    )
+    assert os.path.exists(os.path.join(root, "edges_casrel", "_STAGE_COMMITTED"))
+    key = ["url", "subj", "pred", "obj"]
+    cas_set = {tuple(r) for r in r_cas["triple_set"].select(*key).collect()}
+    from rex_spark.operators.pointer_extraction import casrel_extract
+    from rex_spark.operators.textplane import clean_pages, segment_sentences
+
+    want = {
+        tuple(r)
+        for r in casrel_extract(segment_sentences(clean_pages(pages)))
+        .select(*key)
+        .distinct()
+        .collect()
+    }
+    assert cas_set == want
+    assert n_fused > 0 and n_cas > 0

@@ -128,21 +128,12 @@ def render(results) -> str:
 
 
 def update_baseline(section: str) -> None:
+    from tools.section_util import replace_section
+
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BASELINE.md"
     )
-    marker = "## Skew defusal (J7, tools/skew_bench.py)"
-    with open(path) as f:
-        text = f.read()
-    tail = ""
-    if marker in text:
-        start = text.index(marker)
-        nxt = text.find("\n## ", start + len(marker))
-        if nxt != -1:
-            tail = text[nxt + 1 :]
-        text = text[:start].rstrip() + "\n"
-    with open(path, "w") as f:
-        f.write(text.rstrip() + "\n\n" + section + tail)
+    replace_section(path, "## Skew defusal (J7, tools/skew_bench.py)", section)
 
 
 def main() -> None:
