@@ -382,6 +382,17 @@ def q_lsh_ann_topk(spark, sf):
     )
 
 
+def q_ivf_topk(spark, sf):
+    """Second ANN family: IVF coarse quantizer (deterministic k-means
+    on a bounded sample) + centroid-probe candidate join + exact-cosine
+    rank.  Oracle mirrors assignments/probes via materialized gold."""
+    from rex_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf, "embeddings"), query_ids=list(range(10)), k=5
+    )
+
+
 def q_ner_decode_sql(spark, sf):
     """W1 relational decode: BIO runs via posexplode + window lag."""
     from rex_spark.operators.ner import flag_spans
@@ -769,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_brute": q_embedding_neardup_brute,
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "ner_decode_sql": q_ner_decode_sql,
         "ner_decode_udf": q_ner_decode_udf,
         "crf_decode": q_crf_decode,
@@ -1342,6 +1354,7 @@ def _materialized_gold_oracles() -> dict[str, str]:
     kg = og.ensure_kg_gold()
     dd = og.ensure_dedup_gold(ORACLE_SF)
     ann = og.ensure_ann_gold(ORACLE_SF)
+    ivf = og.ensure_ivf_gold(ORACLE_SF)
     assets = og.ensure_asset_gold()
     return {
         "kg_triples": f"""
@@ -1389,6 +1402,27 @@ def _materialized_gold_oracles() -> dict[str, str]:
                  cand AS (SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
                           FROM b JOIN q USING (table_id, bucket)
                           WHERE b.vec_id != q.query_id),
+                 scored AS (SELECT query_id, neighbor_id,
+                              round(CAST(list_cosine_similarity(
+                                CAST(qe.embedding AS DOUBLE[]),
+                                CAST(ne.embedding AS DOUBLE[])) AS DOUBLE), 6)
+                                AS cosine
+                            FROM cand
+                            JOIN embeddings qe ON qe.vec_id = cand.query_id
+                            JOIN embeddings ne ON ne.vec_id = cand.neighbor_id)
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        "ivf_topk": f"""
+            WITH a AS (SELECT * FROM read_parquet('{ivf["ivf_assign"]}')),
+                 p AS (SELECT * FROM read_parquet('{ivf["ivf_probes"]}')),
+                 cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+                          FROM a JOIN p USING (centroid_id)
+                          WHERE a.vec_id != p.query_id),
                  scored AS (SELECT query_id, neighbor_id,
                               round(CAST(list_cosine_similarity(
                                 CAST(qe.embedding AS DOUBLE[]),

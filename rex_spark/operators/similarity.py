@@ -179,6 +179,142 @@ def lsh_ann_topk(
     )
 
 
+def ivf_fit(
+    vectors: np.ndarray, n_centroids: int = 16, iters: int = 5, seed: int = 1227
+) -> np.ndarray:
+    """Deterministic k-means quantizer fit (the IVF coarse index).
+
+    Standard IVF practice: the quantizer trains on a bounded SAMPLE
+    (driver-side numpy), only assignment runs over the full table.
+    Everything is seeded and iteration-capped, so refitting on the same
+    sample is bit-identical — the property the materialized-gold oracle
+    relies on.  Empty clusters re-seed deterministically.
+    """
+    from ..kernels.hashing import splitmix64
+
+    vecs = np.asarray(vectors, dtype=np.float64)
+    n, dim = vecs.shape
+    state = seed
+    idx = []
+    for _ in range(n_centroids):
+        state = splitmix64(state)
+        idx.append(state % n)
+    centroids = vecs[idx].copy()
+    for _ in range(iters):
+        d2 = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_centroids):
+            members = vecs[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+            else:
+                state = splitmix64(state)
+                centroids[c] = vecs[state % n]
+    return centroids
+
+
+def _ivf_rows(vectors, centroids: np.ndarray, n_probe: int):
+    """(assignment, probe-list) for a batch of vectors: nearest
+    centroid id, and the n_probe nearest centroid ids (ascending
+    distance, ties by centroid id — numpy argsort is stable)."""
+    vecs = np.asarray(vectors, dtype=np.float64)
+    d2 = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    probes = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+    return assign, probes
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 4096,
+    seed: int = 1227,
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer (the second
+    scale-path ANN family next to the hyperplane-LSH one).
+
+    Quantizer fit on a deterministic bounded sample (first
+    ``train_sample`` vec_ids — one bounded driver collect, like the
+    query vectors); assignment + query probing run distributed in one
+    Arrow-batched UDF; candidates meet via a centroid equi-join (cost
+    O(n_probe x inverted-list length) per query, never all-pairs);
+    exact cosine verifies and ranks JVM-side.
+    """
+    import pandas as pd
+
+    sample = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(train_sample)
+        .collect()
+    )
+    centroids = ivf_fit(
+        [r["embedding"] for r in sample], n_centroids=n_centroids, seed=seed
+    )
+    qset = set(query_ids)
+
+    def assign_batches(it):
+        for pdf in it:
+            vecs = np.array([list(v) for v in pdf["embedding"]])
+            if not len(vecs):
+                continue
+            assign, probes = _ivf_rows(vecs, centroids, n_probe)
+            ids = pdf["vec_id"].to_numpy()
+            rows_id, rows_c, rows_q = [], [], []
+            for i, vid in enumerate(ids):
+                rows_id.append(vid)
+                rows_c.append(int(assign[i]))
+                rows_q.append(False)
+                if vid in qset:
+                    for c in probes[i]:
+                        rows_id.append(vid)
+                        rows_c.append(int(c))
+                        rows_q.append(True)
+            yield pd.DataFrame(
+                {"vec_id": rows_id, "centroid_id": rows_c, "is_probe": rows_q}
+            )
+
+    tagged = embeddings.select("vec_id", "embedding").mapInPandas(
+        assign_batches, schema="vec_id long, centroid_id int, is_probe boolean"
+    )
+    assignments = tagged.where(~F.col("is_probe")).select("vec_id", "centroid_id")
+    qprobes = tagged.where(F.col("is_probe")).select(
+        F.col("vec_id").alias("query_id"), "centroid_id"
+    )
+    cand = (
+        assignments.join(F.broadcast(qprobes), "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    e = _normed(embeddings)
+    qv = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    ).where(F.col("query_id").isin(query_ids))
+    scored = (
+        cand.join(e.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _cosine(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_neardup_lsh(
     embeddings: DataFrame,
     threshold: float = 0.95,

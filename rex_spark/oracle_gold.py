@@ -329,6 +329,59 @@ def ensure_ann_gold(
     return paths
 
 
+def ensure_ivf_gold(
+    sf_dir: str,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 4096,
+    query_max: int = 10,
+) -> Dict[str, str]:
+    """IVF quantizer assignments + query probe lists for the embeddings
+    table of ``sf_dir`` — the same numpy fit/assign the Spark UDF runs
+    (bit-identical by construction)."""
+    tag = _sf_tag(sf_dir)
+    paths = {
+        "ivf_assign": os.path.join(GOLD_DIR, tag, "ivf_assign.parquet"),
+        "ivf_probes": os.path.join(GOLD_DIR, tag, "ivf_probes.parquet"),
+    }
+    key = ("ivf", tag, n_centroids, n_probe)
+    with _lock:
+        if key in _done:
+            return paths
+        import numpy as np
+        import pyarrow as pa
+
+        from .operators.similarity import _ivf_rows, ivf_fit
+
+        vec_ids, embs = _read_parquet_cols(
+            os.path.join(sf_dir, "embeddings.parquet"), ["vec_id", "embedding"]
+        )
+        order = np.argsort(np.asarray(vec_ids), kind="stable")
+        vec_ids = [vec_ids[i] for i in order]
+        embs = [embs[i] for i in order]
+        centroids = ivf_fit(embs[:train_sample], n_centroids=n_centroids)
+        assign, probes = _ivf_rows(embs, centroids, n_probe)
+        _write(
+            f"{tag}/ivf_assign.parquet",
+            {
+                "vec_id": (vec_ids, pa.int64()),
+                "centroid_id": (assign.astype("int32"), pa.int32()),
+            },
+        )
+        q_id, q_c = [], []
+        for i, vid in enumerate(vec_ids):
+            if vid < query_max:
+                for c in probes[i]:
+                    q_id.append(vid)
+                    q_c.append(int(c))
+        _write(
+            f"{tag}/ivf_probes.parquet",
+            {"query_id": (q_id, pa.int64()), "centroid_id": (q_c, pa.int32())},
+        )
+        _done.add(key)
+    return paths
+
+
 # ---------------------------------------------------------------------------
 # Asset gold (synthetic multimodal table)
 # ---------------------------------------------------------------------------

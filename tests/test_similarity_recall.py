@@ -35,6 +35,36 @@ def test_lsh_ann_recall_vs_bruteforce(spark, embeddings):
             assert abs(r["cosine"] - exact_scores[key]) < 1e-9
 
 
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """IVF's regime is CLUSTERED data (real embeddings): when true
+    neighbors share a centroid, probe-4-of-16 recovers the exact
+    top-k near-perfectly.  Planted clusters pin that from below."""
+    import numpy as np
+
+    from rex_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(11)
+    rows, vid = [], 0
+    for _c in range(8):
+        center = rng.randn(64) * 3
+        for _ in range(20):
+            v = center + rng.randn(64) * 0.3
+            rows.append((vid, [float(np.float32(x)) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qids = list(range(10))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, query_ids=qids, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, query_ids=qids, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall@5 = {recall:.3f}"
+
+
 def test_lsh_ann_recall_rises_with_tables(spark, embeddings):
     qids = list(range(10))
     exact = {
