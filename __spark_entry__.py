@@ -42,14 +42,31 @@ ORACLE_SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 # flagship
 # ---------------------------------------------------------------------------
 
+# One pipeline execution shared by entry() + the four kg_* queries:
+# they all consume the same deterministic (200 pages, seed 42) corpus,
+# and the storeless run_pipeline persists its plane MEMORY_AND_DISK, so
+# rebuilding it per query cost the driver 5 full executions in r2 (the
+# reason its pass stopped at 50/55 queries).  Keyed on the JVM-side
+# session so a restarted SparkSession never reuses dead cached plans.
+_KG_RUNS: dict = {}
+
+
+def _shared_kg_run(spark: SparkSession) -> dict:
+    key = ("fused", id(spark._jsparkSession))
+    if key not in _KG_RUNS:
+        from rex_spark.pipeline import build_pages_df, run_pipeline
+
+        pages = build_pages_df(spark, 200, seed=42)
+        _KG_RUNS[key] = run_pipeline(
+            spark, pages, store=None, salt_partitions=8
+        )
+    return _KG_RUNS[key]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction on the synthetic Common-Crawl-style
     pages table -> distinct (url, subj, pred, obj) triples."""
-    from rex_spark.pipeline import build_pages_df, run_pipeline
-
-    pages = build_pages_df(spark, 200, seed=42)
-    result = run_pipeline(spark, pages, store=None, salt_partitions=4)
-    return result["triple_set"]
+    return _shared_kg_run(spark)["triple_set"]
 
 
 # ---------------------------------------------------------------------------
@@ -678,43 +695,59 @@ def q_fingerprints(spark, sf):
 # ---------------------------------------------------------------------------
 
 def q_kg_triples(spark, sf):
-    from rex_spark.pipeline import build_pages_df, run_pipeline
-
-    pages = build_pages_df(spark, 200, seed=42)
-    return run_pipeline(spark, pages, store=None)["triple_set"]
+    return _shared_kg_run(spark)["triple_set"]
 
 
 def q_kg_entities(spark, sf):
-    from rex_spark.pipeline import build_pages_df, run_pipeline
-
-    pages = build_pages_df(spark, 200, seed=42)
-    ents = run_pipeline(spark, pages, store=None)["entities"]
+    ents = _shared_kg_run(spark)["entities"]
     return ents.select(
         "canonical", F.size("surfaces").alias("n_surfaces"), "n_mentions"
     )
 
 
 def q_kg_edges(spark, sf):
-    from rex_spark.pipeline import build_pages_df, run_pipeline
-
-    pages = build_pages_df(spark, 200, seed=42)
-    r = run_pipeline(spark, pages, store=None, salt_partitions=8)
-    return r["edges"].select("pred", "support")
+    return _shared_kg_run(spark)["edges"].select("pred", "support")
 
 
 def q_kg_casrel(spark, sf):
     """M3 slot: CasRel-style two-stage pointer decode, same stage
-    interface as the fused extractor (agreement pinned by tests)."""
-    from rex_spark.operators.pointer_extraction import casrel_extract
-    from rex_spark.operators.textplane import clean_pages, segment_sentences
-    from rex_spark.pipeline import build_pages_df
+    interface as the fused extractor (agreement pinned by tests).
+    Cached like the fused run — one execution per session."""
+    key = ("casrel", id(spark._jsparkSession))
+    if key not in _KG_RUNS:
+        from rex_spark.operators.pointer_extraction import casrel_extract
+        from rex_spark.operators.textplane import clean_pages, segment_sentences
+        from rex_spark.pipeline import build_pages_df
 
-    pages = build_pages_df(spark, 200, seed=42)
-    return (
-        casrel_extract(segment_sentences(clean_pages(pages)))
-        .select("url", "subj", "pred", "obj")
-        .distinct()
-    )
+        pages = build_pages_df(spark, 200, seed=42)
+        _KG_RUNS[key] = (
+            casrel_extract(segment_sentences(clean_pages(pages)))
+            .select("url", "subj", "pred", "obj")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    return _KG_RUNS[key]
+
+
+def q_kg_usm(spark, sf):
+    """M6 slot: USM-style unified schema-prompted extraction — one
+    pointer pass (ttl/ltl/tll link algebra, ref rex/models/usm.py:100-168)
+    decodes entities AND relation triples.  Cached like the other
+    extractor paths — one execution per session."""
+    key = ("usm", id(spark._jsparkSession))
+    if key not in _KG_RUNS:
+        from rex_spark.operators.textplane import clean_pages, segment_sentences
+        from rex_spark.operators.usm import usm_extract
+        from rex_spark.pipeline import build_pages_df
+
+        pages = build_pages_df(spark, 200, seed=42)
+        _KG_RUNS[key] = (
+            usm_extract(segment_sentences(clean_pages(pages)))
+            .select("url", "subj", "pred", "obj")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    return _KG_RUNS[key]
 
 
 def q_asset_features(spark, sf):
@@ -800,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities": q_kg_entities,
         "kg_edges": q_kg_edges,
         "kg_casrel": q_kg_casrel,
+        "kg_usm": q_kg_usm,
         "asset_features": q_asset_features,
         "asset_stats": q_asset_stats,
         "asset_frames": q_asset_frames,
@@ -1189,8 +1223,12 @@ def oracle_sql() -> dict[str, str]:
                    round(f1, 6) AS f1, tp, fp, fn
             FROM per2
             UNION ALL
+            -- CAST the rollup sums: DuckDB's sum(BIGINT) is HUGEINT, which
+            -- would promote the whole unioned tp/fp/fn columns to int128
+            -- while Spark emits BIGINT (the one red row in r2)
             SELECT 'macro', round(avg(p), 6), round(avg(r), 6),
-                   round(avg(f1), 6), sum(tp), sum(fp), sum(fn)
+                   round(avg(f1), 6), CAST(sum(tp) AS BIGINT),
+                   CAST(sum(fp) AS BIGINT), CAST(sum(fn) AS BIGINT)
             FROM per2
             UNION ALL
             SELECT 'micro', round(p, 6), round(r, 6),
@@ -1199,7 +1237,9 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT tp, fp, fn,
                          CASE WHEN tp+fp = 0 THEN 0.0 ELSE tp*1.0/(tp+fp) END AS p,
                          CASE WHEN tp+fn = 0 THEN 0.0 ELSE tp*1.0/(tp+fn) END AS r
-                  FROM (SELECT sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn
+                  FROM (SELECT CAST(sum(tp) AS BIGINT) AS tp,
+                               CAST(sum(fp) AS BIGINT) AS fp,
+                               CAST(sum(fn) AS BIGINT) AS fn
                         FROM per2))
         """,
         "mrc_union": f"""
@@ -1369,6 +1409,9 @@ def _materialized_gold_oracles() -> dict[str, str]:
         """,
         "kg_casrel": f"""
             SELECT url, subj, pred, obj FROM read_parquet('{kg["casrel"]}')
+        """,
+        "kg_usm": f"""
+            SELECT url, subj, pred, obj FROM read_parquet('{kg["usm"]}')
         """,
         "minhash_lsh": f"""
             WITH bands AS (SELECT * FROM read_parquet('{dd["mh_bands"]}')),

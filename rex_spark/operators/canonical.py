@@ -437,6 +437,9 @@ def canonicalize_surfaces(
         # surface-vocab-sized (one row per surface, not per mention):
         # materialize eagerly so the nodes cache can be released now
         # instead of leaking across repeated calls in one session.
+        # Cluster caveat: localCheckpoint blocks don't survive executor
+        # loss; a real deployment sets a checkpoint dir and calls
+        # .checkpoint() (or lands this stage in the StageStore).
         .localCheckpoint(eager=True)
     )
     nodes.unpersist()

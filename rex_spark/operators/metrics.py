@@ -151,9 +151,14 @@ def mrc_overlap_prf1(pred_spans: DataFrame, gold_spans: DataFrame) -> DataFrame:
     )
     # counts is one tiny row per type, but its lineage is the two heavy
     # fan-out trees; the per-type/macro/micro branches below reference
-    # it three times, so checkpoint it once (a single join job) instead
-    # of recomputing the whole tree per branch.
-    counts = counts.localCheckpoint(eager=True)
+    # it three times, so checkpoint it once instead of carrying the
+    # whole tree per branch (the pre-checkpoint plan was ~1200 lines).
+    # eager=False: nothing runs at plan-construction time — the
+    # checkpoint materializes on the caller's first action.  Cluster
+    # caveat: localCheckpoint blocks are not recoverable after executor
+    # loss; a real deployment sets a checkpoint dir and uses
+    # .checkpoint() here (same shape, reliable storage).
+    counts = counts.localCheckpoint(eager=False)
 
     def prf(df):
         df = df.withColumn(

@@ -236,18 +236,27 @@ def ivf_topk(
     """Approximate top-k via an IVF coarse quantizer (the second
     scale-path ANN family next to the hyperplane-LSH one).
 
-    Quantizer fit on a deterministic bounded sample (first
-    ``train_sample`` vec_ids — one bounded driver collect, like the
-    query vectors); assignment + query probing run distributed in one
-    Arrow-batched UDF; candidates meet via a centroid equi-join (cost
-    O(n_probe x inverted-list length) per query, never all-pairs);
-    exact cosine verifies and ranks JVM-side.
+    Quantizer fit on a deterministic bounded HASH-sample: rows ordered
+    by md5(vec_id) take the first ``train_sample`` — a seeded uniform
+    draw with no ingest-order bias (at web scale "first N ids"
+    correlates with crawl time/source; the hash order does not).  One
+    bounded driver collect (TakeOrderedAndProject: single scan, k-heap
+    per partition — no full sort), like the query vectors; assignment
+    + query probing run distributed in one Arrow-batched UDF;
+    candidates meet via a centroid equi-join (cost O(n_probe x
+    inverted-list length) per query, never all-pairs); exact cosine
+    verifies and ranks JVM-side.  The gold replica orders by the same
+    md5 hex (rex_spark/oracle_gold.py ensure_ivf_gold).
     """
     import pandas as pd
 
     sample = (
-        embeddings.select("vec_id", "embedding")
-        .orderBy("vec_id")
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "vec_id")
         .limit(train_sample)
         .collect()
     )

@@ -86,10 +86,12 @@ def _kg_scalar_run(n_pages: int = KG_PAGES, seed: int = KG_SEED):
     from .kernels.synth import make_pages
     from .kernels.textnorm import html_to_text
     from .operators.pointer_extraction import pointer_decode_sentence
+    from .operators.usm import usm_sentence
 
     pages, _planted = make_pages(n_pages, seed=seed)
     triples = set()  # (url, subj, pred, obj)
     casrel = set()
+    usm = set()
     sent_triples: List[tuple] = []  # sentence-level best rows (subj, pred, obj)
     freq: Counter = Counter()  # mention surface -> occurrence count
     for p in pages:
@@ -102,7 +104,9 @@ def _kg_scalar_run(n_pages: int = KG_PAGES, seed: int = KG_SEED):
                 sent_triples.append((t[0], t[1], t[2]))
             for t in pointer_decode_sentence(tokens):
                 casrel.add((p["url"], t[0], t[1], t[2]))
-    return triples, casrel, sent_triples, freq
+            for subj, rel, obj, *_spans in usm_sentence(tokens)[1]:
+                usm.add((p["url"], subj, rel, obj))
+    return triples, casrel, usm, sent_triples, freq
 
 
 def _canonicalize_py(freq: Counter) -> Dict[str, int]:
@@ -129,16 +133,16 @@ def ensure_kg_gold() -> Dict[str, str]:
     """Write kg_{triples,entities,edges,casrel}.parquet; memoized."""
     paths = {
         name: os.path.join(GOLD_DIR, f"kg_{name}.parquet")
-        for name in ("triples", "entities", "edges", "casrel")
+        for name in ("triples", "entities", "edges", "casrel", "usm")
     }
     with _lock:
         if "kg" in _done:
             return paths
         import pyarrow as pa
 
-        triples, casrel, sent_triples, freq = _kg_scalar_run()
+        triples, casrel, usm, sent_triples, freq = _kg_scalar_run()
         s = pa.string()
-        for name, data in (("triples", triples), ("casrel", casrel)):
+        for name, data in (("triples", triples), ("casrel", casrel), ("usm", usm)):
             rows = sorted(data)
             _write(
                 f"kg_{name}.parquet",
@@ -348,6 +352,8 @@ def ensure_ivf_gold(
     with _lock:
         if key in _done:
             return paths
+        import hashlib
+
         import numpy as np
         import pyarrow as pa
 
@@ -359,7 +365,20 @@ def ensure_ivf_gold(
         order = np.argsort(np.asarray(vec_ids), kind="stable")
         vec_ids = [vec_ids[i] for i in order]
         embs = [embs[i] for i in order]
-        centroids = ivf_fit(embs[:train_sample], n_centroids=n_centroids)
+        # training sample = first train_sample rows ordered by
+        # (md5(vec_id), vec_id) — the exact hash-sample ivf_topk draws
+        # (hex compares lexicographically identically in Python and
+        # Spark's UTF8String ordering: ASCII hex digits)
+        hash_order = sorted(
+            range(len(vec_ids)),
+            key=lambda i: (
+                hashlib.md5(str(vec_ids[i]).encode()).hexdigest(),
+                vec_ids[i],
+            ),
+        )[:train_sample]
+        centroids = ivf_fit(
+            [embs[i] for i in hash_order], n_centroids=n_centroids
+        )
         assign, probes = _ivf_rows(embs, centroids, n_probe)
         _write(
             f"{tag}/ivf_assign.parquet",

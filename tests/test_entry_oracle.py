@@ -30,19 +30,48 @@ def duck():
 
 def _canon(rows, columns):
     """Order-insensitive canonical form: sort columns by name, stringify
-    values (floats to 9 significant digits)."""
+    values TYPE-SENSITIVELY (floats to 9 significant digits, prefixed by
+    value class so an int-valued float like 646.0 does NOT collapse to
+    the int 646 — the driver's value-hash distinguishes them, and r2's
+    only red row was exactly that oracle type drift)."""
     order = sorted(range(len(columns)), key=lambda i: columns[i])
 
     def cell(v):
         if v is None:
             return "NULL"
+        if isinstance(v, bool):
+            return f"b:{v}"
+        if isinstance(v, int):
+            return f"i:{v}"
         if isinstance(v, float):
             if math.isnan(v):
-                return "nan"
-            return f"{v:.9g}"
+                return "f:nan"
+            return f"f:{v:.9g}"
         return str(v)
 
     return sorted(tuple(cell(r[i]) for i in order) for r in rows)
+
+
+def _type_class(type_name: str) -> str:
+    """Canonical type class for a Spark simpleString / Arrow type name,
+    so oracle dtype drift (e.g. DuckDB promoting sum(BIGINT) to HUGEINT
+    -> decimal128) fails locally before the driver sees it."""
+    t = str(type_name).lower()
+    if "hugeint" in t or t.startswith("decimal"):
+        return "decimal"
+    if "timestamp" in t:
+        return "ts"
+    if "date" in t:
+        return "date"
+    if t in ("float", "double", "real", "halffloat") or t.startswith("float"):
+        return "float"
+    if "int" in t:
+        return "int"
+    if "bool" in t:
+        return "bool"
+    if "string" in t or "varchar" in t or "utf8" in t:
+        return "str"
+    return t
 
 
 ORACLES = entry_mod.oracle_sql()
@@ -63,13 +92,20 @@ def test_oracle_coverage():
 def test_query_matches_oracle(spark, duck, name):
     sdf = ALL_QUERIES[name](spark, SF_DIR)
     spark_cols = sdf.columns
+    spark_types = {f.name: _type_class(f.dataType.simpleString())
+                   for f in sdf.schema.fields}
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    arrow = duck.execute(ORACLES[name]).fetch_arrow_table()
+    duck_cols = list(arrow.schema.names)
+    duck_types = {f.name: _type_class(f.type) for f in arrow.schema}
+    duck_rows = [
+        tuple(arrow.column(c)[i].as_py() for c in duck_cols)
+        for i in range(arrow.num_rows)
+    ]
 
     assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column names"
+    assert spark_types == duck_types, f"{name}: result dtype classes"
     assert len(spark_rows) == len(duck_rows), f"{name}: row count"
     canon_s = _canon(spark_rows, spark_cols)
     canon_d = _canon(duck_rows, duck_cols)
