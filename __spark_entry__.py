@@ -234,6 +234,36 @@ def q_accuracy(spark, sf):
     )
 
 
+def q_triple_facets(spark, sf):
+    """A1/A2 faceted rollup (rex/metrics/triple.py:13-41): the 4-facet
+    triple/subject/object/relation P/R/F1 over two derived triple sets
+    (pred = high-discount lineitems, gold = high-tax lineitems; the
+    triple is (partkey, returnflag, suppkey) per order instance)."""
+    from rex_spark.operators.metrics import triple_prf1
+
+    li = _t(spark, sf, "lineitem")
+    shape = li.select(
+        "l_orderkey",
+        F.col("l_partkey").cast("string").alias("subj"),
+        F.col("l_returnflag").alias("pred"),
+        F.col("l_suppkey").cast("string").alias("obj"),
+        "l_discount",
+        "l_tax",
+    )
+    pred = shape.where(F.col("l_discount") >= 0.05)
+    gold = shape.where(F.col("l_tax") >= 0.04)
+    out = triple_prf1(pred, gold, instance_col="l_orderkey")
+    return out.select(
+        "facet",
+        F.round("p", 6).alias("p"),
+        F.round("r", 6).alias("r"),
+        F.round("f1", 6).alias("f1"),
+        "tp",
+        "fp",
+        "fn",
+    )
+
+
 def q_salted_provenance(spark, sf):
     """J7: skew-proof two-phase distinct-collect (provenance shape) —
     per event_type, the 5 smallest distinct user_ids + row count."""
@@ -383,6 +413,44 @@ def q_embedding_neardup_brute(spark, sf):
     from rex_spark.operators.dedup import embedding_neardup_pairs
 
     return embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.9)
+
+
+def _planted_embeddings(spark, sf) -> DataFrame:
+    """embeddings UNION ALL PLANT_N scaled near-duplicates
+    (vec_id + 1e6, embedding * 1.001 rounded through float32) — the
+    planted ground truth for the de-vacuated neardup checks."""
+    from rex_spark.oracle_gold import PLANT_N, PLANT_OFFSET, PLANT_SCALE
+
+    base = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = base.where(F.col("vec_id") < PLANT_N).select(
+        (F.col("vec_id") + F.lit(PLANT_OFFSET)).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x * F.lit(PLANT_SCALE),
+        )
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    return base.unionByName(planted)
+
+
+def q_neardup_planted(spark, sf):
+    """embedding_neardup on the PLANTED union: the LSH-bucketed default
+    must demonstrably FIND the planted pairs (the sf0.01 raw table has
+    none at cosine >= 0.9, so the raw-table query's agreement is
+    vacuous — this one is not)."""
+    from rex_spark.operators.similarity import embedding_neardup_lsh
+
+    return embedding_neardup_lsh(_planted_embeddings(spark, sf), threshold=0.9)
+
+
+def q_neardup_planted_brute(spark, sf):
+    """Brute-force twin on the same planted union (pure-SQL oracle):
+    pins the bucketed path against exact all-pairs ground truth with a
+    NONZERO expected result."""
+    from rex_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_planted_embeddings(spark, sf), threshold=0.9)
 
 
 def q_cosine_topk(spark, sf):
@@ -750,6 +818,23 @@ def q_kg_usm(spark, sf):
     return _KG_RUNS[key]
 
 
+def q_emb_lookup(spark, sf):
+    """M8: static-embedding lookup — the word2vec text file is read
+    through the S6 reader, broadcast-joined to the exploded document
+    token stream (OOV -> zero UNK row), and mean-pooled per document
+    (ref rex/modules/embeddings/static_embedding.py:9-40)."""
+    from rex_spark.operators.embeddings import (
+        document_embedding_features,
+        load_or_create_embedding,
+    )
+    from rex_spark.oracle_gold import GOLD_DIR
+
+    emb = load_or_create_embedding(
+        spark, os.path.join(GOLD_DIR, "emb_vocab.txt")
+    )
+    return document_embedding_features(_t(spark, sf, "documents"), emb)
+
+
 def q_asset_features(spark, sf):
     from rex_spark.operators.multimodal import extract_features, make_assets
 
@@ -780,7 +865,50 @@ def q_asset_frames(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered RISK-FIRST: a time-capped driver pass evaluates entries
+    in dict order (r2 stopped after 50), so the newest / previously
+    unevaluated / previously red queries come first and the
+    long-stable relational queries (every one green in r1 AND r2, and
+    still pinned by the local pytest oracle gate) come last."""
     return {
+        # --- previously unevaluated by the driver (r2) + new this round ---
+        "kg_triples": q_kg_triples,
+        "kg_entities": q_kg_entities,
+        "kg_edges": q_kg_edges,
+        "kg_casrel": q_kg_casrel,
+        "kg_usm": q_kg_usm,
+        "emb_lookup": q_emb_lookup,
+        "triple_facets": q_triple_facets,
+        "neardup_planted": q_neardup_planted,
+        "neardup_planted_brute": q_neardup_planted_brute,
+        "asset_features": q_asset_features,
+        "asset_stats": q_asset_stats,
+        "asset_frames": q_asset_frames,
+        "mrc_overlap": q_mrc_overlap,  # r2's one red row (oracle typing, fixed)
+        # --- materialized-gold dedup/ANN family ---
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_brute": q_embedding_neardup_brute,
+        "cosine_topk": q_cosine_topk,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_topk": q_ivf_topk,
+        # --- NER / span / metric operators ---
+        "ner_decode_sql": q_ner_decode_sql,
+        "ner_decode_udf": q_ner_decode_udf,
+        "crf_decode": q_crf_decode,
+        "span_matrix": q_span_matrix,
+        "mrc_union": q_mrc_union,
+        "multi_hot": q_multi_hot,
+        "bag_grouped": q_bag_grouped,
+        "confusion": q_confusion,
+        "macro_prf1": q_macro_prf1,
+        "chunk_windows": q_chunk_windows,
+        "split_segments": q_split_segments,
+        "salted_provenance_udf": q_salted_provenance_udf,
+        # --- long-stable relational operators (green r1 + r2) ---
         "agg_pricing": q_agg_pricing,
         "join_lookup": q_join_lookup,
         "semi_join": q_semi_join,
@@ -794,9 +922,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf1": q_prf1,
         "accuracy": q_accuracy,
         "salted_provenance": q_salted_provenance,
-        "salted_provenance_udf": q_salted_provenance_udf,
-        "chunk_windows": q_chunk_windows,
-        "split_segments": q_split_segments,
         "dict_encode": q_dict_encode,
         "vocab": q_vocab,
         "label_count": q_label_count,
@@ -805,38 +930,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_portion": q_split_portion,
         "json_props": q_json_props,
         "month_orders": q_month_orders,
-        "exact_dedup": q_exact_dedup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "embedding_neardup": q_embedding_neardup,
-        "embedding_neardup_brute": q_embedding_neardup_brute,
-        "cosine_topk": q_cosine_topk,
-        "lsh_ann_topk": q_lsh_ann_topk,
-        "ivf_topk": q_ivf_topk,
-        "ner_decode_sql": q_ner_decode_sql,
-        "ner_decode_udf": q_ner_decode_udf,
-        "crf_decode": q_crf_decode,
-        "span_matrix": q_span_matrix,
-        "multi_hot": q_multi_hot,
-        "mrc_overlap": q_mrc_overlap,
-        "bag_grouped": q_bag_grouped,
-        "mrc_union": q_mrc_union,
-        "confusion": q_confusion,
-        "macro_prf1": q_macro_prf1,
         "asof_pairs": q_asof_pairs,
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
-        "kg_triples": q_kg_triples,
-        "kg_entities": q_kg_entities,
-        "kg_edges": q_kg_edges,
-        "kg_casrel": q_kg_casrel,
-        "kg_usm": q_kg_usm,
-        "asset_features": q_asset_features,
-        "asset_stats": q_asset_stats,
-        "asset_frames": q_asset_frames,
     }
 
 
@@ -919,6 +1017,67 @@ def _band_runs_sql(bands: dict[str, tuple[int, int]], max_pos: int | None = None
         )
         WHERE f
         GROUP BY doc_id, ent_type, run_id
+    """
+
+
+def _planted_union_sql() -> str:
+    """DuckDB replica of _planted_embeddings (same constants, same
+    float32 round-trip: CAST(double_product AS REAL))."""
+    from rex_spark.oracle_gold import PLANT_N, PLANT_OFFSET, PLANT_SCALE
+
+    return f"""
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+               list_transform(
+                 embedding,
+                 x -> CAST(CAST(x AS DOUBLE) * {PLANT_SCALE} AS REAL)
+               ) AS embedding
+        FROM embeddings WHERE vec_id < {PLANT_N}
+    """
+
+
+def _triple_facets_sql() -> str:
+    """4-facet P/R/F1 oracle (mirrors operators/metrics.py triple_prf1
+    over the same derived pred/gold triple shapes)."""
+    facets = {
+        "triple": "l_orderkey, subj, pred, obj",
+        "subject": "l_orderkey, subj",
+        "object": "l_orderkey, obj",
+        "relation": "l_orderkey, pred",
+    }
+    blocks = []
+    for facet, cols in facets.items():
+        blocks.append(f"""
+            SELECT '{facet}' AS facet,
+                   round(pp, 6) AS p, round(rr, 6) AS r,
+                   round(CASE WHEN pp + rr = 0 THEN 0.0
+                         ELSE 2 * pp * rr / (pp + rr) END, 6) AS f1,
+                   tp, fp, fn
+            FROM (SELECT tp, fp, fn,
+                    CASE WHEN tp+fp = 0 THEN 0.0 ELSE tp*1.0/(tp+fp) END AS pp,
+                    CASE WHEN tp+fn = 0 THEN 0.0 ELSE tp*1.0/(tp+fn) END AS rr
+                  FROM (SELECT
+                    (SELECT count(*) FROM (SELECT {cols} FROM predset
+                       INTERSECT SELECT {cols} FROM goldset)) AS tp,
+                    (SELECT count(*) FROM (SELECT {cols} FROM predset
+                       EXCEPT SELECT {cols} FROM goldset)) AS fp,
+                    (SELECT count(*) FROM (SELECT {cols} FROM goldset
+                       EXCEPT SELECT {cols} FROM predset)) AS fn))
+        """)
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""
+        WITH shaped AS (SELECT l_orderkey,
+                               CAST(l_partkey AS VARCHAR) AS subj,
+                               l_returnflag AS pred,
+                               CAST(l_suppkey AS VARCHAR) AS obj,
+                               l_discount, l_tax
+                        FROM lineitem),
+             predset AS (SELECT DISTINCT l_orderkey, subj, pred, obj
+                         FROM shaped WHERE l_discount >= 0.05),
+             goldset AS (SELECT DISTINCT l_orderkey, subj, pred, obj
+                         FROM shaped WHERE l_tax >= 0.04)
+        {union}
     """
 
 
@@ -1028,6 +1187,7 @@ def oracle_sql() -> dict[str, str]:
                          END, 6) AS f1
             FROM s
         """,
+        "triple_facets": _triple_facets_sql(),
         "accuracy": """
             SELECT round(avg(CASE WHEN (o_orderstatus = 'F') = (o_totalprice < 150000)
                                   THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
@@ -1113,6 +1273,16 @@ def oracle_sql() -> dict[str, str]:
             FROM common JOIN sizes sa ON sa.doc_id = a
                         JOIN sizes sb ON sb.doc_id = b
             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+        """,
+        "neardup_planted_brute": f"""
+            WITH uni AS ({_planted_union_sql()})
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(CAST(list_cosine_similarity(
+                     CAST(x.embedding AS DOUBLE[]),
+                     CAST(y.embedding AS DOUBLE[])) AS DOUBLE), 6) AS cosine
+            FROM uni x JOIN uni y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                         CAST(y.embedding AS DOUBLE[])) >= 0.9
         """,
         "embedding_neardup_brute": """
             SELECT x.vec_id AS a, y.vec_id AS b,
@@ -1396,7 +1566,43 @@ def _materialized_gold_oracles() -> dict[str, str]:
     ann = og.ensure_ann_gold(ORACLE_SF)
     ivf = og.ensure_ivf_gold(ORACLE_SF)
     assets = og.ensure_asset_gold()
+    emb = og.ensure_emb_gold()
+    annp = og.ensure_ann_gold_planted(ORACLE_SF)
     return {
+        "neardup_planted": f"""
+            WITH uni AS ({_planted_union_sql()}),
+                 b AS (SELECT * FROM
+                       read_parquet('{annp["ann_buckets_planted"]}')),
+                 cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+                          FROM b x JOIN b y USING (table_id, bucket)
+                          WHERE x.vec_id < y.vec_id)
+            SELECT a, b,
+                   round(CAST(list_cosine_similarity(
+                     CAST(ea.embedding AS DOUBLE[]),
+                     CAST(eb.embedding AS DOUBLE[])) AS DOUBLE), 6) AS cosine
+            FROM cand JOIN uni ea ON ea.vec_id = a
+                      JOIN uni eb ON eb.vec_id = b
+            WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])) >= 0.9
+        """,
+        "emb_lookup": f"""
+            WITH e AS (SELECT * FROM read_parquet('{emb["emb_vocab"]}')),
+                 toks AS (SELECT doc_id, unnest({_TOKS}) AS token
+                          FROM documents),
+                 j AS (SELECT t.doc_id,
+                              e.token IS NULL AS oov,
+                              coalesce(e.v0, 0.0) AS v0,
+                              coalesce(e.v1, 0.0) AS v1,
+                              coalesce(e.v2, 0.0) AS v2,
+                              coalesce(e.v3, 0.0) AS v3
+                       FROM toks t LEFT JOIN e USING (token))
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_oov,
+                   round(avg(v0), 6) AS f0, round(avg(v1), 6) AS f1,
+                   round(avg(v2), 6) AS f2, round(avg(v3), 6) AS f3
+            FROM j GROUP BY doc_id
+        """,
         "kg_triples": f"""
             SELECT url, subj, pred, obj FROM read_parquet('{kg["triples"]}')
         """,

@@ -88,14 +88,21 @@ def filtered_fanout_sink(
 ) -> dict[float, int]:
     """S9 (data/EncyclopediaDS/convert.py:14-53): one scan, N threshold-
     filtered jsonl sinks; returns per-threshold row counts.  The input
-    is cached once so the scan isn't repeated per threshold."""
+    is cached once so the scan isn't repeated per threshold, and each
+    count rides the WRITE job via observe() — one action per threshold,
+    not a write + a separate count over the cache."""
+    from pyspark.sql import Observation
+
     df = df.cache()
     counts: dict[float, int] = {}
     try:
         for t in thresholds:
-            out = df.where(F.col(prob_col) > t)
+            obs = Observation(f"fanout_gt{t}")
+            out = df.where(F.col(prob_col) > t).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            )
             out.write.mode("overwrite").json(f"{base_path}/gt{t}")
-            counts[t] = out.count()
+            counts[t] = obs.get["n"]
     finally:
         df.unpersist()
     return counts

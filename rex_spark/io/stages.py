@@ -52,6 +52,25 @@ class StageStore:
     def lineage(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._lineage_dir(name))
 
+    def _metrics_dir(self, name: str) -> str:
+        return os.path.join(self.root, "_metrics", name)
+
+    def write_metrics(self, name: str, values: dict) -> None:
+        """Land per-stage scalar metrics (e.g. Observation results:
+        dropped sentence/pair/mention counts) next to the lineage rows
+        — the P9 drop-count contract (rex/data/transforms/sent_re.py:
+        44-58 logs exactly these per transform)."""
+        rows = [
+            (name, k, int(v) if v is not None else 0, MODEL_VERSION)
+            for k, v in sorted(values.items())
+        ]
+        self.spark.createDataFrame(
+            rows, "stage string, metric string, value long, model_version string"
+        ).coalesce(1).write.mode("overwrite").parquet(self._metrics_dir(name))
+
+    def metrics(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._metrics_dir(name))
+
     def run(
         self,
         name: str,

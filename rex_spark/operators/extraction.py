@@ -91,24 +91,41 @@ def detect_mentions(sentences: DataFrame) -> DataFrame:
 
 
 def filter_valid_mentions(
-    mentions: DataFrame, max_seq_len: int
+    mentions: DataFrame, max_seq_len: int, observation=None
 ) -> tuple[DataFrame, DataFrame]:
     """P9 (rex/data/transforms/sent_re.py:44-58): drop mentions whose
     span exceeds the model's max sequence length.  Returns
-    (kept, dropped); count the dropped side into stage metrics — the
-    reference logs exactly that drop count per transform."""
+    (kept, dropped); the reference logs exactly that drop count per
+    transform — pass a pyspark Observation to fold the count into the
+    caller's first action (zero extra jobs), then land it via
+    StageStore.write_metrics."""
     fits = F.col("end") <= max_seq_len
+    if observation is not None:
+        mentions = mentions.observe(
+            observation,
+            F.sum((~fits).cast("long")).alias("dropped_mentions"),
+            F.count(F.lit(1)).alias("input_mentions"),
+        )
     return mentions.where(fits), mentions.where(~fits)
 
 
-def candidate_pairs(mentions: DataFrame, max_pairs_per_sentence: int = 400) -> DataFrame:
+def candidate_pairs(
+    mentions: DataFrame,
+    max_pairs_per_sentence: int = 400,
+    observation=None,
+) -> DataFrame:
     """J1: all ordered (head, tail) mention pairs with distinct spans
     within a sentence.
 
     One shuffle (groupBy sentence key), then in-partition expansion.
     ``max_pairs_per_sentence`` bounds quadratic blowup on pathological
-    sentences (the P9-style validity guard at web scale); dropped
-    sentences are countable from the lineage metrics.
+    sentences (the P9-style validity guard at web scale).  The cap
+    drops WHOLE sentences; pass a pyspark Observation and the dropped
+    sentence/pair counts are measured by the same job that produces
+    the pairs (observe() rides the groupBy output — no extra scan),
+    mirroring the reference's per-transform drop logging
+    (rex/data/transforms/sent_re.py:44-58); land them via
+    StageStore.write_metrics.
     """
     span = F.struct(
         F.col("ent_type"), F.col("start"), F.col("end"), F.col("surface")
@@ -116,8 +133,20 @@ def candidate_pairs(mentions: DataFrame, max_pairs_per_sentence: int = 400) -> D
     grouped = mentions.groupBy("url", "sent_id").agg(
         F.collect_list(span).alias("ments")
     )
+    over = F.size("ments") * F.size("ments") > max_pairs_per_sentence
+    if observation is not None:
+        grouped = grouped.observe(
+            observation,
+            F.sum(over.cast("long")).alias("dropped_sentences"),
+            F.sum(
+                F.when(over, F.size("ments") * (F.size("ments") - 1))
+                .otherwise(F.lit(0))
+                .cast("long")
+            ).alias("dropped_pairs"),
+            F.count(F.lit(1)).alias("input_sentences"),
+        )
     # bound quadratic expansion before exploding
-    grouped = grouped.where(F.size("ments") * F.size("ments") <= max_pairs_per_sentence)
+    grouped = grouped.where(~over)
     pairs = (
         grouped.select(
             "url",

@@ -333,6 +333,68 @@ def ensure_ann_gold(
     return paths
 
 
+PLANT_N = 5
+PLANT_OFFSET = 1_000_000
+PLANT_SCALE = 1.001
+
+
+def planted_vec(v) -> list:
+    """The planted near-duplicate perturbation, replicating the Spark
+    expression bit-exactly: cast float->double, * 1.001 (double IEEE
+    mult), cast back to float32."""
+    import numpy as np
+
+    return (
+        (np.asarray(v, dtype=np.float32).astype(np.float64) * PLANT_SCALE)
+        .astype(np.float32)
+        .tolist()
+    )
+
+
+def ensure_ann_gold_planted(
+    sf_dir: str, n_planes: int = 4, n_tables: int = 16, dim: int = 64
+) -> Dict[str, str]:
+    """LSH bucket assignments for the embeddings table UNIONED with
+    PLANT_N scaled near-duplicate rows (vec_id + PLANT_OFFSET) — the
+    de-vacuated neardup oracle: at sf0.01 the raw table has no pairs at
+    cosine >= 0.9, so agreement on it proves nothing; the planted rows
+    force the bucketed path to demonstrably FIND pairs the exact-cosine
+    oracle confirms."""
+    tag = _sf_tag(sf_dir)
+    paths = {
+        "ann_buckets_planted": os.path.join(
+            GOLD_DIR, tag, "ann_buckets_planted.parquet"
+        )
+    }
+    key = ("ann_planted", tag, n_planes, n_tables)
+    with _lock:
+        if key in _done:
+            return paths
+        import numpy as np
+        import pyarrow as pa
+
+        vec_ids, embs = _read_parquet_cols(
+            os.path.join(sf_dir, "embeddings.parquet"), ["vec_id", "embedding"]
+        )
+        all_ids = list(vec_ids)
+        all_embs = list(embs)
+        for vid, v in zip(vec_ids, embs):
+            if vid < PLANT_N:
+                all_ids.append(vid + PLANT_OFFSET)
+                all_embs.append(planted_vec(v))
+        out_t, out_b = _bucket_rows(all_embs, n_planes, n_tables, dim)
+        _write(
+            f"{tag}/ann_buckets_planted.parquet",
+            {
+                "vec_id": (np.repeat(np.asarray(all_ids), n_tables), pa.int64()),
+                "table_id": (out_t, pa.int32()),
+                "bucket": (out_b, pa.int32()),
+            },
+        )
+        _done.add(key)
+    return paths
+
+
 def ensure_ivf_gold(
     sf_dir: str,
     n_centroids: int = 16,
@@ -398,6 +460,34 @@ def ensure_ivf_gold(
             {"query_id": (q_id, pa.int64()), "centroid_id": (q_c, pa.int32())},
         )
         _done.add(key)
+    return paths
+
+
+def ensure_emb_gold() -> Dict[str, str]:
+    """The deterministic embedding vocabulary as a parquet dim table
+    (token, v0..v3) — same frozen kernel the word2vec text file is
+    written from (operators/embeddings.py emb_vector), so the DuckDB
+    join+mean-pool replicates the Spark broadcast-lookup exactly."""
+    paths = {"emb_vocab": os.path.join(GOLD_DIR, "emb_vocab.parquet")}
+    with _lock:
+        if "emb" in _done:
+            return paths
+        import pyarrow as pa
+
+        from .operators.embeddings import EMB_DIM, gold_embedding_rows
+
+        cols = gold_embedding_rows()
+        _write(
+            "emb_vocab.parquet",
+            {
+                "token": (cols["token"], pa.string()),
+                **{
+                    f"v{j}": (cols[f"v{j}"], pa.float64())
+                    for j in range(EMB_DIM)
+                },
+            },
+        )
+        _done.add("emb")
     return paths
 
 
