@@ -319,13 +319,21 @@ def q_label_count(spark, sf):
 
 
 def q_threshold_fanout(spark, sf):
-    """S9: one scan, several threshold-filtered counts."""
-    ev = _t(spark, sf, "events").select("value").cache()
-    rows = []
-    for t in (10.0, 50.0, 90.0):
-        rows.append((t, ev.where(F.col("value") > t).count()))
-    ev.unpersist()
-    return spark.createDataFrame(rows, ["threshold", "n_kept"])
+    """S9: several threshold-filtered counts from ONE scan and ONE
+    aggregation job (conditional sums), not a cached scan re-counted
+    per threshold."""
+    thresholds = (10.0, 50.0, 90.0)
+    ev = _t(spark, sf, "events")
+    row = ev.agg(
+        *[
+            F.sum((F.col("value") > t).cast("long")).alias(f"t{i}")
+            for i, t in enumerate(thresholds)
+        ]
+    ).first()
+    return spark.createDataFrame(
+        [(t, row[f"t{i}"]) for i, t in enumerate(thresholds)],
+        ["threshold", "n_kept"],
+    )
 
 
 def q_windowed_avg(spark, sf):

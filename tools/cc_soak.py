@@ -62,13 +62,16 @@ def build_surface_mentions(spark, n_groups: int):
 
 
 def expected_components_py(n_groups: int) -> dict:
-    """In-process replica of the within-group edge logic: exact-norm
-    links + LSH links gated by BOTH a shared band key and verified
-    jaccard >= threshold — the same kernels the executors run, so the
-    expected count is exact, not a heuristic.  Cross-group edges would
-    need true char-3-gram jaccard >= 0.6 between different md5 hex12
-    prefixes (never happens; a chance band-key collision alone is
-    rejected by the exact-jaccard verification)."""
+    """FULL in-process replica of the edge logic over all 4*n_groups
+    surfaces: global exact-normalized-form groups, global LSH buckets
+    with the MAX_BUCKET degenerate-bucket drop (shared structural
+    shingles — " corp", "corporation" — put ~5% of band rows into
+    mega-buckets the distributed path drops), and exact-jaccard
+    verification of every in-bucket candidate — same kernels, same
+    caps, CROSS-GROUP candidates included (distinct md5 hexes CAN
+    collide on long suffixes and genuinely clear the 0.6 threshold:
+    measured 2 such merges per 20k groups).  Union-find over the whole
+    graph then yields the exact expected component count."""
     import hashlib
     from itertools import combinations
 
@@ -82,61 +85,77 @@ def expected_components_py(n_groups: int) -> dict:
     from rex_spark.kernels.textnorm import char_shingles
     from rex_spark.operators.canonical import (
         JACCARD_THRESHOLD,
+        MAX_BUCKET,
         NUM_BANDS,
         NUM_PERM,
     )
     from rex_spark.oracle_gold import normalize_surface_py
 
     params = minhash_params(NUM_PERM)
-    total = 0
-    intact = 0
-    # all 4 variants' shingle sets per group, batched through the same
-    # minhash kernel the executors use
     surfaces_of = lambda h: [  # noqa: E731
         f"{h} corp", f"{h} corporation", f"{h} corp.", f"the {h} corp",
     ]
     hexes = [
         hashlib.md5(str(g).encode()).hexdigest()[:12] for g in range(n_groups)
     ]
-    norm_lists = [
-        [normalize_surface_py(s) for s in surfaces_of(h)] for h in hexes
+    flat_norms = [
+        normalize_surface_py(s) for h in hexes for s in surfaces_of(h)
     ]
-    flat_sh = [
-        set(char_shingles(nrm, 3)) for norms in norm_lists for nrm in norms
-    ]
+    flat_sh = [set(char_shingles(nrm, 3)) for nrm in flat_norms]
     sigs = minhash_signatures_batch(flat_sh, params)
     keys = band_keys_batch(sigs, NUM_BANDS).view(np.int64).reshape(-1, NUM_BANDS)
-    for g in range(n_groups):
-        norms = norm_lists[g]
-        sh = flat_sh[4 * g : 4 * g + 4]
-        bk = keys[4 * g : 4 * g + 4]
-        parent = list(range(4))
 
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
+    n_nodes = len(flat_norms)
+    parent = list(range(n_nodes))
 
-        for i, j in combinations(range(4), 2):
-            if norms[i] == norms[j]:
-                linked = True
-            else:
-                band_hit = bool((bk[i] == bk[j]).any())
-                if band_hit and sh[i] and sh[j]:
-                    inter = len(sh[i] & sh[j])
-                    union = len(sh[i] | sh[j])
-                    linked = inter / union >= JACCARD_THRESHOLD
-                else:
-                    linked = False
-            if linked:
-                ri, rj = find(i), find(j)
-                if ri != rj:
-                    parent[max(ri, rj)] = min(ri, rj)
-        comps = len({find(i) for i in range(4)})
-        total += comps
-        if comps == 1:
-            intact += 1
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    # exact-normalized-form links (global, like _exact_norm_edges)
+    by_norm: dict = {}
+    for idx, nrm in enumerate(flat_norms):
+        by_norm.setdefault(nrm, []).append(idx)
+    for members in by_norm.values():
+        for other in members[1:]:
+            union(members[0], other)
+
+    # LSH candidate links: global buckets, degenerate buckets dropped,
+    # exact jaccard verified (like _lsh_edges)
+    buckets: dict = {}
+    for i in range(n_nodes):
+        for b in range(NUM_BANDS):
+            buckets.setdefault((b, int(keys[i, b])), []).append(i)
+    checked: set = set()
+    for members in buckets.values():
+        if len(members) < 2 or len(members) > MAX_BUCKET:
+            continue
+        for x, y in combinations(members, 2):
+            pair = (x, y) if x < y else (y, x)
+            if pair in checked:
+                continue
+            checked.add(pair)
+            shx, shy = flat_sh[x], flat_sh[y]
+            if (
+                shx
+                and shy
+                and len(shx & shy) / len(shx | shy) >= JACCARD_THRESHOLD
+            ):
+                union(x, y)
+
+    total = len({find(i) for i in range(n_nodes)})
+    intact = sum(
+        1
+        for g in range(n_groups)
+        if len({find(i) for i in range(4 * g, 4 * g + 4)}) == 1
+    )
     return {"expected_components": total, "groups_intact": intact}
 
 
