@@ -177,7 +177,7 @@ def bench_scale(n_pages: int, update_baseline: bool = False) -> dict:
     """Same job, same input, at the SPARK_GRAFT_SCALE_CORES pair
     (default local[4] vs local[16] — N vs 4N).
 
-    Median of 3 timed runs per parallelism level: the sandbox VM's GC
+    Median of SCALE_RUNS timed runs per parallelism level: the VM's GC
     and scheduling noise produce occasional 2x outliers that would
     otherwise dominate a single-shot measurement.
     """
@@ -238,7 +238,7 @@ def _append_baseline(out: dict) -> None:
         "",
         f"Same KG-construction job, same {out['n_pages']}-page synthetic input,",
         "run at two parallelism levels (sandbox stand-in for N vs 4N executors),",
-        "median of 3 timed runs after a warm run, caches cleared between runs:",
+        f"median of {SCALE_RUNS} timed runs after a warm run, caches cleared between runs:",
         "",
         "| cores | wall (s) | all runs (s) | triples | triples/sec |",
         "|---|---|---|---|---|",

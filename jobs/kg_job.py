@@ -42,10 +42,12 @@ def parse_args(argv):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--skip-sentence-text", action="store_true",
                    help="prune sentence text through the UDF (graph outputs only)")
-    p.add_argument("--extractor", choices=("fused", "casrel"), default=None,
+    p.add_argument("--extractor", choices=("fused", "casrel", "usm"),
+                   default=None,
                    help="triple extraction mechanism: pair scorer (fused, "
-                        "the config default) or CasRel-style two-stage "
-                        "pointer decode; an explicit flag overrides yaml")
+                        "the config default), CasRel-style two-stage "
+                        "pointer decode, or USM unified pointer-algebra "
+                        "decode; an explicit flag overrides yaml")
     return p.parse_args(argv)
 
 

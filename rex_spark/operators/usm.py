@@ -242,6 +242,60 @@ def usm_extract(sentences: DataFrame) -> DataFrame:
     )
 
 
+def usm_extract_scored(sentences: DataFrame) -> DataFrame:
+    """sentences -> scored triples in the pipeline's TRIPLES_SCHEMA —
+    the M6 slot as a drop-in extraction mechanism for run_pipeline
+    (extractor="usm"), like the fused and CasRel slots.
+
+    The USM decode itself emits no scores (pure link algebra); the
+    stand-in attaches the pair scorer's deterministic score for the
+    decoded (subj span, obj span) pair — what a trained USM would
+    expose as its ttl logit."""
+    from .extraction import TRIPLES_SCHEMA
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: List[tuple] = []
+            for url, wts, sid, tokens in zip(
+                pdf["url"], pdf["warc_ts"], pdf["sent_id"], pdf["tokens"]
+            ):
+                toks = list(tokens)
+                ments = {
+                    (m[2], m[3]): m for m in extract_mentions(toks)
+                }
+                _ents, rels = usm_sentence(toks)
+                for subj, rel, obj, hs, he, ts, te in rels:
+                    head = ments.get((hs, he))
+                    tail = ments.get((ts, te))
+                    score = 0.0
+                    if head is not None and tail is not None:
+                        scored = score_pair(toks, head, tail)
+                        if scored is not None:
+                            score = scored[1]
+                    rows.append(
+                        (url, wts, sid, subj, rel, obj, hs, he, ts, te, score)
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "warc_ts", "sent_id", "subj", "pred", "obj",
+                    "h_start", "h_end", "t_start", "t_end", "score",
+                ],
+            )
+            if rows:
+                out = out.astype(
+                    {
+                        "sent_id": "int32", "h_start": "int32", "h_end": "int32",
+                        "t_start": "int32", "t_end": "int32", "score": "float32",
+                    }
+                )
+            yield out
+
+    return sentences.select("url", "warc_ts", "sent_id", "tokens").mapInPandas(
+        batches, schema=TRIPLES_SCHEMA
+    )
+
+
 def usm_entities(sentences: DataFrame) -> DataFrame:
     """sentences -> typed entity spans from the SAME unified pass (the
     property that distinguishes USM from the pipeline NER: entities and

@@ -114,11 +114,12 @@ def run_pipeline(
     equal by tests/test_pipeline_e2e.py.
 
     ``extractor`` picks the triple-extraction mechanism filling the M1
-    slot: ``"fused"`` (pair scorer, default) or ``"casrel"`` (the
-    M3/W2 two-stage pointer decode, operators/pointer_extraction.py —
-    same stage interface, P/R >= 0.95 agreement pinned by tests).  The
-    casrel path always runs the composable stages (its decoder is not
-    part of the fused plane kernel).
+    slot: ``"fused"`` (pair scorer, default), ``"casrel"`` (the M3/W2
+    two-stage pointer decode, operators/pointer_extraction.py) or
+    ``"usm"`` (the M6 unified ttl/ltl/tll pointer-algebra decode,
+    operators/usm.py) — same stage interface, P/R >= 0.95 agreement
+    pinned by tests.  The casrel/usm paths always run the composable
+    stages (their decoders are not part of the fused plane kernel).
     """
     from pyspark import StorageLevel
 
@@ -129,15 +130,18 @@ def run_pipeline(
         plane_triples,
     )
 
-    if extractor not in ("fused", "casrel"):
+    if extractor not in ("fused", "casrel", "usm"):
         raise ValueError(f"unknown extractor: {extractor!r}")
     # extractor-dependent stages carry the extractor in their NAME so a
     # stage root written with one mechanism never resumes into the other
     # (extractor-independent stages — docs/sentences/mentions/surfaces/
     # entities — stay shared and ARE reused across extractors)
     ext_sfx = "" if extractor == "fused" else f"_{extractor}"
-    if extractor == "casrel":
-        from .operators.pointer_extraction import casrel_extract
+    if extractor in ("casrel", "usm"):
+        if extractor == "casrel":
+            from .operators.pointer_extraction import casrel_extract as _ext
+        else:
+            from .operators.usm import usm_extract_scored as _ext
 
         def run(name, fn, **kw):
             return fn() if store is None else store.run(name, fn, **kw)
@@ -146,7 +150,7 @@ def run_pipeline(
         sentences = run("sentences", lambda: segment_sentences(docs))
         if store is None:
             sentences = sentences.persist(StorageLevel.MEMORY_AND_DISK)
-        triples = run(f"triples{ext_sfx}", lambda: casrel_extract(sentences))
+        triples = run(f"triples{ext_sfx}", lambda: _ext(sentences))
         mentions = run("mentions", lambda: detect_mentions(sentences))
         labeled = run(
             "surfaces",

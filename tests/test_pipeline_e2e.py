@@ -246,3 +246,20 @@ def test_casrel_pointer_path_agrees_with_pair_scorer(spark):
     b = casrel_extract(sents).select(*key).distinct()
     scores = triple_prf1_dict(b, a)["triple"]
     assert scores["p"] >= 0.95 and scores["r"] >= 0.95, scores
+
+
+def test_run_pipeline_usm_extractor(spark):
+    """extractor='usm' swaps the M1 slot for the M6 unified pointer-
+    algebra decode: the pipeline's triple set equals the fused path on
+    this corpus (measured exact; contract is >= 0.95), the scored rows
+    carry the pair scorer's score, and the graph plane materializes."""
+    pages = build_pages_df(spark, 60, seed=42)
+    r = run_pipeline(spark, pages, store=None, extractor="usm")
+    key = ["url", "subj", "pred", "obj"]
+    got = {tuple(x) for x in r["triple_set"].select(*key).collect()}
+    fused = run_pipeline(spark, pages, store=None)
+    want = {tuple(x) for x in fused["triple_set"].select(*key).collect()}
+    assert got == want and got
+    assert r["entities"].count() > 0 and r["edges"].count() > 0
+    scores = [x["score"] for x in r["triples"].select("score").collect()]
+    assert scores and all(s > 0 for s in scores)
