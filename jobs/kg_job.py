@@ -42,12 +42,18 @@ def parse_args(argv):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--skip-sentence-text", action="store_true",
                    help="prune sentence text through the UDF (graph outputs only)")
-    p.add_argument("--extractor", choices=("fused", "casrel", "usm"),
-                   default=None,
-                   help="triple extraction mechanism: pair scorer (fused, "
-                        "the config default), CasRel-style two-stage "
-                        "pointer decode, or USM unified pointer-algebra "
-                        "decode; an explicit flag overrides yaml")
+    p.add_argument("--extractor", default=None,
+                   help="triple extraction mechanism: 'fused' (pair "
+                        "scorer, the config default), built-ins 'casrel' "
+                        "/ 'usm', or any name registered under the "
+                        "'extractor' namespace (rex_spark.registry; load "
+                        "plugin packages with --include-package); an "
+                        "explicit flag overrides yaml")
+    p.add_argument("--include-package", action="append", default=None,
+                   help="import this package (and submodules) on the "
+                        "driver before running, so its @register "
+                        "decorators fire — the rex --include-package "
+                        "plugin hook")
     return p.parse_args(argv)
 
 
@@ -57,7 +63,13 @@ def main(argv=None) -> None:
     from rex_spark.config import dump_config, load_config
     from rex_spark.io.stages import StageStore
     from rex_spark.pipeline import build_pages_df_distributed, run_pipeline
+    from rex_spark.registry import import_submodules
     from rex_spark.session import get_session
+
+    # plugin packages register custom stage functions (e.g. extractors)
+    # on the driver BEFORE any plan is built
+    for pkg in args.include_package or ():
+        import_submodules(pkg)
 
     # defaults -> yaml file(s) -> dotlist -> explicit CLI flags
     cfg = load_config(args.config, args.dotlist)

@@ -114,12 +114,16 @@ def run_pipeline(
     equal by tests/test_pipeline_e2e.py.
 
     ``extractor`` picks the triple-extraction mechanism filling the M1
-    slot: ``"fused"`` (pair scorer, default), ``"casrel"`` (the M3/W2
-    two-stage pointer decode, operators/pointer_extraction.py) or
-    ``"usm"`` (the M6 unified ttl/ltl/tll pointer-algebra decode,
-    operators/usm.py) — same stage interface, P/R >= 0.95 agreement
-    pinned by tests.  The casrel/usm paths always run the composable
-    stages (their decoders are not part of the fused plane kernel).
+    slot: ``"fused"`` (pair scorer, default), or any name in the
+    ``"extractor"`` registry namespace — built-ins ``"casrel"`` (the
+    M3/W2 two-stage pointer decode, operators/pointer_extraction.py)
+    and ``"usm"`` (the M6 unified ttl/ltl/tll pointer-algebra decode,
+    operators/usm.py; both pinned to P/R >= 0.95 agreement by tests),
+    or a user mechanism registered with
+    ``@rex_spark.registry.register("extractor")`` (the rex registry /
+    --include-package extension surface).  Registered paths always run
+    the composable stages (their decoders are not part of the fused
+    plane kernel).
     """
     from pyspark import StorageLevel
 
@@ -129,19 +133,20 @@ def run_pipeline(
         plane_sentences,
         plane_triples,
     )
+    from .registry import NAMESPACE_REGISTRY
 
-    if extractor not in ("fused", "casrel", "usm"):
-        raise ValueError(f"unknown extractor: {extractor!r}")
+    if extractor != "fused" and extractor not in NAMESPACE_REGISTRY["extractor"]:
+        raise ValueError(
+            f"unknown extractor: {extractor!r} (register it with "
+            f"@register('extractor'))"
+        )
     # extractor-dependent stages carry the extractor in their NAME so a
     # stage root written with one mechanism never resumes into the other
     # (extractor-independent stages — docs/sentences/mentions/surfaces/
     # entities — stay shared and ARE reused across extractors)
     ext_sfx = "" if extractor == "fused" else f"_{extractor}"
-    if extractor in ("casrel", "usm"):
-        if extractor == "casrel":
-            from .operators.pointer_extraction import casrel_extract as _ext
-        else:
-            from .operators.usm import usm_extract_scored as _ext
+    if extractor != "fused":
+        _ext = NAMESPACE_REGISTRY["extractor"][extractor]
 
         def run(name, fn, **kw):
             return fn() if store is None else store.run(name, fn, **kw)
