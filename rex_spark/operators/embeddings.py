@@ -98,8 +98,12 @@ def document_embedding_features(docs: DataFrame, emb: DataFrame) -> DataFrame:
     (doc_id, n_tokens, n_oov, f0..f{dim-1}) where f = mean over ALL
     token vectors with OOV as the zero UNK row (mean pooling — the
     aggregate is a plain groupBy with map-side partials)."""
-    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
-    exploded = docs.select("doc_id", F.explode(toks).alias("token"))
+    from .textstats import _tokens  # the ONE normalize/split expression
+    # shared with the DuckDB _TOKS oracle replica
+
+    exploded = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    )
     looked = embedding_lookup(exploded, emb)
     aggs = [
         F.count(F.lit(1)).alias("n_tokens"),
@@ -115,13 +119,15 @@ def document_embedding_features(docs: DataFrame, emb: DataFrame) -> DataFrame:
 def load_or_create_embedding(
     spark: SparkSession, path: str, vocab: List[str] | None = None
 ) -> DataFrame:
-    """Materialize the deterministic word2vec text file if absent and
-    load it through the S6 reader (the real file surface, header and
-    dim-filter included)."""
+    """Materialize the deterministic word2vec text file and load it
+    through the S6 reader (the real file surface, header and
+    dim-filter included).  Always rewritten (atomic os.replace): a
+    stale file from an older vocab/kernel would silently diverge from
+    the freshly regenerated parquet gold — the oracle contract is
+    'regenerates bit-identically on demand', so regenerate."""
     from ..io.readers import read_embedding_text
 
-    if not os.path.exists(path):
-        write_embedding_text(path, vocab)
+    write_embedding_text(path, vocab)
     return read_embedding_text(spark, path)
 
 

@@ -62,15 +62,19 @@ LABEL_MAP = build_label_map()
 _LABEL_IDX = {v["string"]: k for k, v in LABEL_MAP.items()}
 
 
-def usm_links(
+def _usm_encode(
     tokens: Sequence[str],
-) -> Tuple[List[Link], List[Link], List[Link]]:
+) -> Tuple[List[Link], List[Link], List[Link], dict]:
     """Stand-in encoder: the (ttl, ltl, tll) link sets a trained USM
-    would emit above threshold for this sentence."""
+    would emit above threshold for this sentence, plus the
+    {(hs, he, rel, ts, te) -> score} map of the pairs that produced
+    them (spans in the inclusive link-index convention) — kept so the
+    scored extraction path doesn't re-run the pair scorer."""
     ments = extract_mentions(tokens)
     ttl: set = set()
     ltl: set = set()
     tll: set = set()
+    pair_scores: dict = {}
     for surf, etype, s, e in ments:
         ttl.add((s, e - 1, 0))  # H2T span link
         li = _LABEL_IDX[etype]
@@ -89,13 +93,21 @@ def usm_links(
             ri = _LABEL_IDX[rel]
             hs, he = head[2], head[3] - 1
             ts, te = tail[2], tail[3] - 1
+            pair_scores[(hs, he, rel, ts, te)] = score
             ttl.add((hs, ts, 1))  # H2H
             ttl.add((he, te, 2))  # T2T
             ltl.add((ri, hs, 0))  # L2H (subject head)
             ltl.add((ri, he, 1))  # L2T (subject tail)
             tll.add((ts, ri, 0))  # H2L (object head)
             tll.add((te, ri, 1))  # T2L (object tail)
-    return sorted(ttl), sorted(ltl), sorted(tll)
+    return sorted(ttl), sorted(ltl), sorted(tll), pair_scores
+
+
+def usm_links(
+    tokens: Sequence[str],
+) -> Tuple[List[Link], List[Link], List[Link]]:
+    ttl, ltl, tll, _scores = _usm_encode(tokens)
+    return ttl, ltl, tll
 
 
 def usm_decode(
@@ -184,7 +196,18 @@ def usm_sentence(
     """tokens -> (typed entity spans, relation triples) through the
     full encode+decode.  Spans are (surface, type, start, end_excl);
     triples are (subj_surface, rel, obj_surface, hs, he, ts, te)."""
-    ttl, ltl, tll = usm_links(tokens)
+    ents, rels = usm_sentence_scored(tokens)
+    return ents, [row[:-1] for row in rels]
+
+
+def usm_sentence_scored(
+    tokens: Sequence[str],
+) -> Tuple[List[Tuple[str, str, int, int]], List[Tuple]]:
+    """Like usm_sentence, but each relation row carries the encoder's
+    pair score as its last element (what a trained USM would expose as
+    its ttl logit); decoded combinations the encoder never scored
+    directly (pointer cross-talk) carry 0.0."""
+    ttl, ltl, tll, pair_scores = _usm_encode(tokens)
     ents, rels = usm_decode(ttl, ltl, tll, LABEL_MAP)
     ent_rows = [
         (" ".join(tokens[h : t + 1]), etype, h, t + 1) for (h, t), etype in ents
@@ -198,6 +221,7 @@ def usm_sentence(
             ht + 1,
             th,
             tt + 1,
+            pair_scores.get((hh, ht, rel, th, tt), 0.0),
         )
         for (hh, ht), rel, (th, tt) in rels
     ]
@@ -248,9 +272,10 @@ def usm_extract_scored(sentences: DataFrame) -> DataFrame:
     (extractor="usm"), like the fused and CasRel slots.
 
     The USM decode itself emits no scores (pure link algebra); the
-    stand-in attaches the pair scorer's deterministic score for the
-    decoded (subj span, obj span) pair — what a trained USM would
-    expose as its ttl logit."""
+    stand-in attaches the encoder's own pair score for the decoded
+    (subj span, obj span) pair — what a trained USM would expose as
+    its ttl logit — carried through from the single encode pass (no
+    re-scoring in the hot path)."""
     from .extraction import TRIPLES_SCHEMA
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -259,19 +284,8 @@ def usm_extract_scored(sentences: DataFrame) -> DataFrame:
             for url, wts, sid, tokens in zip(
                 pdf["url"], pdf["warc_ts"], pdf["sent_id"], pdf["tokens"]
             ):
-                toks = list(tokens)
-                ments = {
-                    (m[2], m[3]): m for m in extract_mentions(toks)
-                }
-                _ents, rels = usm_sentence(toks)
-                for subj, rel, obj, hs, he, ts, te in rels:
-                    head = ments.get((hs, he))
-                    tail = ments.get((ts, te))
-                    score = 0.0
-                    if head is not None and tail is not None:
-                        scored = score_pair(toks, head, tail)
-                        if scored is not None:
-                            score = scored[1]
+                _ents, rels = usm_sentence_scored(list(tokens))
+                for subj, rel, obj, hs, he, ts, te, score in rels:
                     rows.append(
                         (url, wts, sid, subj, rel, obj, hs, he, ts, te, score)
                     )

@@ -63,13 +63,21 @@ def import_submodules(package_name: str) -> None:
     """Import every submodule of ``package_name`` so its module-level
     ``@register`` decorators run (the --include-package plugin hook,
     ref rex/utils/registry.py:144-160).  Call on the driver before
-    building plans."""
+    building plans.
+
+    Uses iter_modules + explicit recursion, NOT pkgutil.walk_packages:
+    walk_packages resolves child names as top-level imports, so a
+    plugin subpackage shadowing an importable name (``pkg/json/``)
+    would walk the stdlib module and crash on phantom names like
+    ``pkg.json.decoder``."""
     importlib.invalidate_caches()
     module = importlib.import_module(package_name)
-    for _, name, _ in pkgutil.walk_packages(getattr(module, "__path__", [])):
+    for _, name, _ in pkgutil.iter_modules(getattr(module, "__path__", [])):
         if name.startswith("_") or name.startswith("test"):
             continue
-        import_submodules(f"{package_name}.{name}")
+        sub = f"{package_name}.{name}"
+        importlib.import_module(sub)
+        import_submodules(sub)
 
 
 def _register_builtin_extractors() -> None:
