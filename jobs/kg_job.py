@@ -122,6 +122,13 @@ def main(argv=None) -> None:
         "wall_sec": round(time.perf_counter() - t0, 2),
         "resumable": store is not None,
     }
+    if store is not None:
+        # run-level metrics land next to the per-partition lineage rows
+        # (north-rule: resumable checkpoints + lineage + metrics)
+        store.write_metrics(
+            "run_summary",
+            {k: summary[k] for k in ("triples", "entities", "edges")},
+        )
     print(json.dumps(summary))
 
 
