@@ -65,6 +65,11 @@ def write_embedding_text(path: str, vocab: List[str] | None = None,
     (``N dim`` header + one ``token v1..vd`` line per token) — the
     artifact read_embedding_text consumes."""
     vocab = EMB_VOCAB if vocab is None else vocab
+    bad = [t for t in vocab if not t or any(c.isspace() for c in t)]
+    if bad:
+        # the format is whitespace-delimited: such a token would be
+        # silently split into token+vector garbage on read-back
+        raise ValueError(f"tokens with whitespace break word2vec text: {bad[:3]}")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w", encoding="utf-8") as fh:

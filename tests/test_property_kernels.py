@@ -127,3 +127,44 @@ def test_minhash_batch_equals_scalar(docs):
     keys = band_keys_batch(batch, 8)
     for i in range(len(docs)):
         assert keys[i].tolist() == band_keys(batch[i].tolist(), 8)
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=0x2FF),
+               min_size=1, max_size=24))
+@settings(max_examples=150, deadline=None)
+def test_emb_vector_text_roundtrip(token):
+    """M8 kernel: any whitespace-free token's vector survives the
+    word2vec text round-trip exactly (6-decimal print == stored value)."""
+    from rex_spark.operators.embeddings import emb_vector
+
+    vec = emb_vector(token)
+    assert vec == emb_vector(token)  # deterministic
+    assert all(float(f"{v:.6f}") == v for v in vec)
+    assert all(-1.0 <= v <= 1.0 for v in vec)
+
+
+@given(st.lists(st.sampled_from(
+    ["alice", "johnson", "works", "for", "acme", "corp", "globex",
+     "runs", "springfield", "lives", "in", "was", "born", "the", "x"]),
+    min_size=1, max_size=14))
+@settings(max_examples=120, deadline=None)
+def test_usm_decode_closed_over_encoder_links(tokens):
+    """M6 invariants on arbitrary token sequences: every decoded
+    relation's spans are real H2T mention spans, every decoded entity
+    is a typed mention the gazetteer produced, and the unscored
+    variant equals the scored variant minus the score column."""
+    from rex_spark.kernels.extractor import extract_mentions
+    from rex_spark.operators.usm import usm_sentence, usm_sentence_scored
+
+    ments = {(m[2], m[3]): m[1] for m in extract_mentions(tokens)}
+    ents, rels = usm_sentence(tokens)
+    ents_s, rels_s = usm_sentence_scored(tokens)
+    assert ents == ents_s
+    assert rels == [r[:-1] for r in rels_s]
+    for surf, etype, s, e in ents:
+        assert ments.get((s, e)) == etype
+        assert surf == " ".join(tokens[s:e])
+    for subj, rel, obj, hs, he, ts, te in rels:
+        assert (hs, he) in ments and (ts, te) in ments
+        assert subj == " ".join(tokens[hs:he])
+        assert obj == " ".join(tokens[ts:te])
