@@ -785,6 +785,24 @@ def q_kg_edges(spark, sf):
     return _shared_kg_run(spark)["edges"].select("pred", "support")
 
 
+def _shared_sentences(spark) -> DataFrame:
+    """clean+segment of the deterministic corpus, persisted once per
+    session — shared by the casrel and usm query paths (each used to
+    rebuild it, doubling the driver pass's text-plane work)."""
+    key = ("sentences", id(spark._jsparkSession))
+    if key not in _KG_RUNS:
+        from pyspark import StorageLevel
+
+        from rex_spark.operators.textplane import clean_pages, segment_sentences
+        from rex_spark.pipeline import build_pages_df
+
+        pages = build_pages_df(spark, 200, seed=42)
+        _KG_RUNS[key] = segment_sentences(clean_pages(pages)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    return _KG_RUNS[key]
+
+
 def q_kg_casrel(spark, sf):
     """M3 slot: CasRel-style two-stage pointer decode, same stage
     interface as the fused extractor (agreement pinned by tests).
@@ -792,12 +810,9 @@ def q_kg_casrel(spark, sf):
     key = ("casrel", id(spark._jsparkSession))
     if key not in _KG_RUNS:
         from rex_spark.operators.pointer_extraction import casrel_extract
-        from rex_spark.operators.textplane import clean_pages, segment_sentences
-        from rex_spark.pipeline import build_pages_df
 
-        pages = build_pages_df(spark, 200, seed=42)
         _KG_RUNS[key] = (
-            casrel_extract(segment_sentences(clean_pages(pages)))
+            casrel_extract(_shared_sentences(spark))
             .select("url", "subj", "pred", "obj")
             .distinct()
             .localCheckpoint(eager=False)
@@ -812,13 +827,10 @@ def q_kg_usm(spark, sf):
     extractor paths — one execution per session."""
     key = ("usm", id(spark._jsparkSession))
     if key not in _KG_RUNS:
-        from rex_spark.operators.textplane import clean_pages, segment_sentences
         from rex_spark.operators.usm import usm_extract
-        from rex_spark.pipeline import build_pages_df
 
-        pages = build_pages_df(spark, 200, seed=42)
         _KG_RUNS[key] = (
-            usm_extract(segment_sentences(clean_pages(pages)))
+            usm_extract(_shared_sentences(spark))
             .select("url", "subj", "pred", "obj")
             .distinct()
             .localCheckpoint(eager=False)
