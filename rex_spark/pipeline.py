@@ -55,7 +55,11 @@ def build_pages_df(spark: SparkSession, n_pages: int, seed: int = 42) -> DataFra
 
 
 def build_pages_df_distributed(
-    spark: SparkSession, n_pages: int, seed: int = 42, partitions: int | None = None
+    spark: SparkSession,
+    n_pages: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    start: int = 0,
 ) -> DataFrame:
     """Synthesize the input table ON THE EXECUTORS.
 
@@ -63,6 +67,8 @@ def build_pages_df_distributed(
     ranges independently — byte-identical to :func:`build_pages_df` but
     with no driver materialization, which is the only synthesis path
     that holds at benchmark scale (a driver-side list does not).
+    ``start`` offsets the id range (pages start..start+n_pages-1) so
+    callers can synthesize disjoint waves of the same corpus.
     """
     import pandas as pd
 
@@ -84,7 +90,7 @@ def build_pages_df_distributed(
             )
 
     return (
-        spark.range(n_pages)
+        spark.range(start, start + n_pages)
         .repartition(parts)
         .mapInPandas(gen, schema=PAGES_SCHEMA)
     )

@@ -263,3 +263,18 @@ def test_run_pipeline_usm_extractor(spark):
     assert r["entities"].count() > 0 and r["edges"].count() > 0
     scores = [x["score"] for x in r["triples"].select("score").collect()]
     assert scores and all(s > 0 for s in scores)
+
+
+def test_distributed_synthesis_waves_union_to_full_corpus(spark):
+    """build_pages_df_distributed(start=...) waves are disjoint and
+    union byte-identically to the single full-range synthesis — the
+    property the streaming soak's batch-parity check rests on."""
+    from rex_spark.pipeline import build_pages_df_distributed
+
+    full = build_pages_df_distributed(spark, 40, seed=42)
+    w0 = build_pages_df_distributed(spark, 20, seed=42, start=0)
+    w1 = build_pages_df_distributed(spark, 20, seed=42, start=20)
+    union = w0.unionByName(w1)
+    assert union.count() == full.count() == 40
+    assert full.exceptAll(union).count() == 0
+    assert union.exceptAll(full).count() == 0
