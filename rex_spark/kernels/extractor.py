@@ -75,15 +75,26 @@ def score_pair(
     return rel, round(score, 6)
 
 
-def extract_sentence(tokens: Sequence[str]) -> List[ScoredTriple]:
+def extract_sentence(
+    tokens: Sequence[str], max_pairs: int | None = None
+) -> List[ScoredTriple]:
     """Mentions -> all ordered candidate pairs -> scored triples.
 
     Candidate generation mirrors J1 (all head/tail mention pairs with
     distinct spans, rex/data/transforms/sent_re.py:50-63); scoring +
     thresholding mirrors T3.  Output is deduplicated on the triple key
     keeping the max score (the dedup-keep-best window, SURVEY.md §2.5).
+
+    ``max_pairs``: if set and len(mentions)^2 exceeds it, the sentence
+    is skipped entirely (returns []) — the same whole-sentence cap as
+    operators.extraction.candidate_pairs, so the fused and composable
+    paths drop identically.  None (default) is reference-exact: the
+    reference kernel has no cap, and the P/R oracle compares against
+    the uncapped composition.
     """
     mentions = extract_mentions(tokens)
+    if max_pairs is not None and len(mentions) * len(mentions) > max_pairs:
+        return []
     best: Dict[Tuple[str, str, str], ScoredTriple] = {}
     for head in mentions:
         for tail in mentions:

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     FloatType,
     IntegerType,
     LongType,
@@ -275,11 +276,16 @@ PLANE_SCHEMA = StructType(
         StructField("t_ts", ArrayType(IntegerType()), False),
         StructField("t_te", ArrayType(IntegerType()), False),
         StructField("t_score", ArrayType(FloatType()), False),
+        StructField("t_capped", BooleanType(), False),
     ]
 )
 
 
-def extract_plane(pages: DataFrame, include_text: bool = True) -> DataFrame:
+def extract_plane(
+    pages: DataFrame,
+    include_text: bool = True,
+    max_pairs_per_sentence: int | None = 400,
+) -> DataFrame:
     """pages -> per-sentence rows with nested mention/triple arrays, in
     ONE Arrow crossing.
 
@@ -292,6 +298,15 @@ def extract_plane(pages: DataFrame, include_text: bool = True) -> DataFrame:
     ``explode`` (plane_mentions / plane_triples), which is narrow and
     cheap.  Output is pinned identical to the composable path by
     tests/test_pipeline_e2e.py.
+
+    ``max_pairs_per_sentence`` bounds the kernel's quadratic pair loop
+    on pathological sentences (a page whose "sentence" repeats a
+    gazetteer surface thousands of times would otherwise stall one
+    executor core) — the SAME whole-sentence drop rule as
+    candidate_pairs, so fused and composable paths drop identically.
+    Dropped sentences are NOT silent: they emit with ``t_capped`` true
+    (mentions still populated — mention detection is linear), so
+    downstream lineage can count them (P9 contract).
     """
     import pyarrow as pa
 
@@ -324,6 +339,7 @@ def extract_plane(pages: DataFrame, include_text: bool = True) -> DataFrame:
         "t_obj": pa.list_(pa.string()), "t_hs": pa.list_(pa.int32()),
         "t_he": pa.list_(pa.int32()), "t_ts": pa.list_(pa.int32()),
         "t_te": pa.list_(pa.int32()), "t_score": pa.list_(pa.float32()),
+        "t_capped": pa.bool_(),
     }
     out_schema = pa.schema([(n, pa_types[n]) for n in names])
 
@@ -355,7 +371,12 @@ def extract_plane(pages: DataFrame, include_text: bool = True) -> DataFrame:
                     cols["m_type"].append([m[1] for m in ms])
                     cols["m_start"].append([m[2] for m in ms])
                     cols["m_end"].append([m[3] for m in ms])
-                    tr = extract_sentence(toks)
+                    capped = (
+                        max_pairs_per_sentence is not None
+                        and len(ms) * len(ms) > max_pairs_per_sentence
+                    )
+                    cols["t_capped"].append(capped)
+                    tr = [] if capped else extract_sentence(toks)
                     cols["t_subj"].append([t[0] for t in tr])
                     cols["t_pred"].append([t[1] for t in tr])
                     cols["t_obj"].append([t[2] for t in tr])

@@ -61,3 +61,56 @@ def test_metrics_land_in_store(spark, tmp_path):
         "dropped_sentences": 1, "dropped_pairs": 6, "input_sentences": 3,
     }
     assert {r["stage"] for r in store.metrics("pairs").collect()} == {"pairs"}
+
+
+def test_fused_plane_caps_pathological_sentences_in_lockstep(spark):
+    """The fused plane's pair cap drops the SAME sentences as the
+    composable candidate_pairs cap, emits them flagged (t_capped) with
+    mentions intact, and stays reference-exact when the cap is off."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from rex_spark.operators.extraction import (
+        candidate_pairs,
+        detect_mentions,
+        extract_plane,
+        plane_mentions,
+    )
+    from rex_spark.operators.textplane import (
+        PAGES_SCHEMA,
+        clean_pages,
+        segment_sentences,
+    )
+
+    bomb = "acme corp " * 21  # 21 mentions -> 441 pairs > 400 cap
+    ts = datetime.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [
+            ("u1", ts, f"<html><body>{bomb}</body></html>".encode(), None, "en"),
+            ("u2", ts, b"<html><body>alice johnson works for globex</body></html>",
+             None, "en"),
+        ],
+        PAGES_SCHEMA,
+    )
+    plane = extract_plane(pages).cache()
+    capped = plane.where(F.col("t_capped")).collect()
+    assert [r["url"] for r in capped] == ["u1"]
+    assert capped[0]["t_subj"] == []  # no triples from the capped sentence
+    assert len(capped[0]["m_surface"]) == 21  # mentions kept (linear work)
+    # the healthy page still extracts
+    assert plane.where(~F.col("t_capped") & (F.size("t_subj") > 0)).count() == 1
+    # mention fan-out unaffected by the cap
+    assert plane_mentions(plane).where(F.col("url") == "u1").count() == 21
+    plane.unpersist()
+
+    # composable path drops the same sentence
+    ments = detect_mentions(segment_sentences(clean_pages(pages)))
+    pairs = candidate_pairs(ments, max_pairs_per_sentence=400)
+    assert pairs.where(F.col("url") == "u1").count() == 0
+    assert pairs.where(F.col("url") == "u2").count() > 0
+
+    # cap off -> reference-exact (sentence scored, quadratic and all)
+    uncapped = extract_plane(pages, max_pairs_per_sentence=None)
+    row = uncapped.where(F.col("url") == "u1").collect()[0]
+    assert row["t_capped"] is False
