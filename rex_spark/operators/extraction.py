@@ -213,8 +213,14 @@ def score_pairs(pairs: DataFrame, sentences: DataFrame) -> DataFrame:
     return dedup_keep_best(scored, ["url", "sent_id", "subj", "pred", "obj"])
 
 
-def extract_triples_fused(sentences: DataFrame) -> DataFrame:
-    """Fused sentences -> scored triples (shuffle-free production path)."""
+def extract_triples_fused(
+    sentences: DataFrame, max_pairs_per_sentence: int | None = 400
+) -> DataFrame:
+    """Fused sentences -> scored triples (shuffle-free production path).
+
+    Applies the same whole-sentence pair cap as extract_plane /
+    candidate_pairs (the pathological-sentence guard); pass None for
+    the reference-exact uncapped kernel."""
 
     def triple_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -223,7 +229,7 @@ def extract_triples_fused(sentences: DataFrame) -> DataFrame:
                 pdf["url"], pdf["warc_ts"], pdf["sent_id"], pdf["tokens"]
             ):
                 for subj, rel, obj, hs, he, ts, te, sc in extract_sentence(
-                    list(tokens)
+                    list(tokens), max_pairs=max_pairs_per_sentence
                 ):
                     rows.append((url, wts, sid, subj, rel, obj, hs, he, ts, te, sc))
             out = pd.DataFrame(
