@@ -117,18 +117,21 @@ def extract_sentence(
 
 
 def extract_document(
-    clean_text: str, lang: str = "en"
+    clean_text: str, lang: str = "en", max_pairs: int | None = None
 ) -> List[Tuple[int, str, List[str], List[ScoredTriple]]]:
     """clean_text -> [(sent_id, sentence, tokens, scored triples)].
 
     The segmentation language follows the page's lang column
     (BASELINE.json input_hint); anything non-zh uses en rules.
-    """
+    ``max_pairs`` passes through to extract_sentence (None =
+    reference-exact)."""
     seg_lang = "zh" if lang == "zh" else "en"
     out = []
     for sent_id, sent in enumerate(sent_seg(clean_text, lang=seg_lang)):
         tokens = tokenize(sent, lang=seg_lang)
-        out.append((sent_id, sent, tokens, extract_sentence(tokens)))
+        out.append(
+            (sent_id, sent, tokens, extract_sentence(tokens, max_pairs=max_pairs))
+        )
     return out
 
 

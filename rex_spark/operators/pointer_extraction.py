@@ -35,13 +35,22 @@ from ..kernels.spans import find_closest_span_pairs
 from .extraction import TRIPLES_SCHEMA
 
 
-def pointer_decode_sentence(tokens: Sequence[str]) -> List[Tuple]:
+def pointer_decode_sentence(
+    tokens: Sequence[str], max_pairs: int | None = 400
+) -> List[Tuple]:
     """One sentence -> scored triples via the two-stage pointer decode.
 
     Returns rows shaped like kernels.extractor.extract_sentence.
+    ``max_pairs`` is the same whole-sentence pathological-pair cap as
+    every other extraction mechanism (candidate_pairs / extract_plane /
+    extract_triples_fused / USM): len(mentions)^2 over the cap skips
+    the sentence.  The gold replica calls this function with the same
+    default, so engine and oracle drop in lockstep.
     """
     ments = extract_mentions(tokens)
     if len(ments) < 2:
+        return []
+    if max_pairs is not None and len(ments) * len(ments) > max_pairs:
         return []
     n = len(tokens)
 

@@ -63,14 +63,22 @@ _LABEL_IDX = {v["string"]: k for k, v in LABEL_MAP.items()}
 
 
 def _usm_encode(
-    tokens: Sequence[str],
+    tokens: Sequence[str], max_pairs: int | None = 400
 ) -> Tuple[List[Link], List[Link], List[Link], dict]:
     """Stand-in encoder: the (ttl, ltl, tll) link sets a trained USM
     would emit above threshold for this sentence, plus the
     {(hs, he, rel, ts, te) -> score} map of the pairs that produced
     them (spans in the inclusive link-index convention) — kept so the
-    scored extraction path doesn't re-run the pair scorer."""
+    scored extraction path doesn't re-run the pair scorer.
+
+    ``max_pairs``: the same whole-sentence pathological-pair cap as
+    every other mechanism — a sentence whose len(mentions)^2 exceeds
+    it emits NO links at all (skipped entirely, like candidate_pairs'
+    drop).  The gold replica uses the same default, so engine and
+    oracle drop in lockstep."""
     ments = extract_mentions(tokens)
+    if max_pairs is not None and len(ments) * len(ments) > max_pairs:
+        return [], [], [], {}
     ttl: set = set()
     ltl: set = set()
     tll: set = set()

@@ -96,7 +96,15 @@ def _kg_scalar_run(n_pages: int = KG_PAGES, seed: int = KG_SEED):
     freq: Counter = Counter()  # mention surface -> occurrence count
     for p in pages:
         clean = html_to_text(p["html"])
-        for _sid, _sent, tokens, scored in extract_document(clean, p["lang"]):
+        # max_pairs=400: the SAME whole-sentence pair cap the engine's
+        # production paths apply (extract_plane / extract_triples_fused
+        # defaults) — gold and engine drop in lockstep by construction.
+        # The deterministic corpus never reaches the cap (pinned by
+        # tests/test_drop_metrics.py::test_corpus_never_hits_pair_cap),
+        # so this also stays reference-exact.
+        for _sid, _sent, tokens, scored in extract_document(
+            clean, p["lang"], max_pairs=400
+        ):
             for surface, _et, _s, _e in extract_mentions(tokens):
                 freq[surface] += 1
             for t in scored:

@@ -114,3 +114,24 @@ def test_fused_plane_caps_pathological_sentences_in_lockstep(spark):
     uncapped = extract_plane(pages, max_pairs_per_sentence=None)
     row = uncapped.where(F.col("url") == "u1").collect()[0]
     assert row["t_capped"] is False
+
+
+def test_corpus_never_hits_pair_cap():
+    """The deterministic corpus stays strictly under the 400-pair cap
+    in every sentence — the precondition that keeps the capped
+    production paths (and the equally-capped oracle gold) identical to
+    the uncapped reference composition.  If corpus synthesis ever
+    grows a pathological sentence, this fails loudly instead of the
+    driver's kg_* rows going red."""
+    from rex_spark.kernels.extractor import extract_mentions
+    from rex_spark.kernels.synth import make_pages
+    from rex_spark.kernels.textnorm import html_to_text, sent_seg, tokenize
+
+    pages, _ = make_pages(200, seed=42)
+    worst = 0
+    for p in pages:
+        lang = "zh" if p["lang"] == "zh" else "en"
+        for sent in sent_seg(html_to_text(p["html"]), lang=lang):
+            m = len(extract_mentions(tokenize(sent, lang=lang)))
+            worst = max(worst, m * m)
+    assert 0 < worst <= 400, worst

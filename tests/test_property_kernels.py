@@ -131,16 +131,38 @@ def test_minhash_batch_equals_scalar(docs):
 
 @given(st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=0x2FF),
                min_size=1, max_size=24))
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=60, deadline=None)
 def test_emb_vector_text_roundtrip(token):
     """M8 kernel: any whitespace-free token's vector survives the
-    word2vec text round-trip exactly (6-decimal print == stored value)."""
-    from rex_spark.operators.embeddings import emb_vector
+    word2vec text round-trip exactly — ACTUALLY written by
+    write_embedding_text and parsed back the way the S6 reader does
+    (decimal text -> double; Python float() and Spark's cast are both
+    correctly-rounded, so equality here is equality there)."""
+    import os
+    import tempfile
 
+    from rex_spark.operators.embeddings import (
+        EMB_DIM,
+        emb_vector,
+        write_embedding_text,
+    )
+
+    # hypothesis can generate non-whitespace control chars the writer
+    # must still round-trip; isspace()-true tokens are rejected by the
+    # writer and out of scope here
+    if any(c.isspace() for c in token):
+        return
     vec = emb_vector(token)
     assert vec == emb_vector(token)  # deterministic
-    assert all(float(f"{v:.6f}") == v for v in vec)
     assert all(-1.0 <= v <= 1.0 for v in vec)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "emb.txt")
+        write_embedding_text(path, [token])
+        lines = open(path, encoding="utf-8").read().splitlines()
+    assert lines[0] == f"1 {EMB_DIM}"
+    fields = lines[1].split(" ")
+    assert fields[0] == token
+    assert [float(x) for x in fields[1:]] == vec
 
 
 @given(st.lists(st.sampled_from(
