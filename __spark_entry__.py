@@ -740,6 +740,22 @@ def q_asof_pairs(spark, sf):
     return out.select("user_id", "event_id", "tsu", "next_tail")
 
 
+def q_rep_stats(spark, sf):
+    """Gopher-style repetition filter signals (duplicate-2-gram and
+    top-token-dominance fractions + the conventional-threshold
+    verdict) — the standard web-corpus quality rule family."""
+    from rex_spark.operators.textstats import repetition_stats
+
+    out = repetition_stats(_t(spark, sf, "documents"))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "top_token_frac",
+        "rep_2gram_frac",
+        F.col("repetitive").cast("int").alias("repetitive"),
+    )
+
+
 def q_doc_stats(spark, sf):
     from rex_spark.operators.textstats import doc_stats
 
@@ -901,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triple_facets": q_triple_facets,
         "neardup_planted": q_neardup_planted,
         "neardup_planted_brute": q_neardup_planted_brute,
+        "rep_stats": q_rep_stats,
         "asset_features": q_asset_features,
         "asset_stats": q_asset_stats,
         "asset_frames": q_asset_frames,
@@ -1514,6 +1531,38 @@ def oracle_sql() -> dict[str, str]:
                        AS next_tail
               FROM events)
             WHERE value >= 80
+        """,
+        "rep_stats": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+                 tc AS (SELECT doc_id,
+                               CAST(sum(c) AS BIGINT) AS n_tokens,
+                               max(c) AS top_c
+                        FROM (SELECT doc_id, token, count(*) AS c
+                              FROM (SELECT doc_id, unnest(t) AS token
+                                    FROM toks)
+                              GROUP BY 1, 2)
+                        GROUP BY 1),
+                 g AS (SELECT doc_id,
+                              CASE WHEN len(t) >= 2
+                                   THEN list_transform(range(1, len(t)),
+                                        i -> t[i] || ' ' || t[i+1])
+                                   ELSE [] END AS g
+                       FROM toks),
+                 gc AS (SELECT doc_id, count(*) AS total_2grams,
+                               count(DISTINCT gram) AS distinct_2grams
+                        FROM (SELECT doc_id, unnest(g) AS gram FROM g)
+                        GROUP BY 1)
+            SELECT doc_id, n_tokens, top_token_frac, rep_2gram_frac,
+                   CAST(top_token_frac > 0.2 OR rep_2gram_frac > 0.5
+                        AS INTEGER) AS repetitive
+            FROM (SELECT tc.doc_id, tc.n_tokens,
+                         round(tc.top_c * 1.0 / tc.n_tokens, 6)
+                           AS top_token_frac,
+                         round(CASE WHEN coalesce(gc.total_2grams, 0) > 0
+                               THEN 1 - gc.distinct_2grams * 1.0
+                                        / gc.total_2grams
+                               ELSE 0.0 END, 6) AS rep_2gram_frac
+                  FROM tc LEFT JOIN gc USING (doc_id))
         """,
         "doc_stats": f"""
             WITH base AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),

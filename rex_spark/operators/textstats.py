@@ -105,3 +105,68 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         F.xxhash64(norm).alias("fp_xx64"),
     )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document (the standard
+    web-corpus quality filter family; see Rae et al. 2021 "Scaling
+    Language Models" App. A — fraction-of-duplicate-n-grams /
+    top-token-dominance rules).
+
+    Emits per doc: n_tokens, top_token_frac (most frequent token's
+    share), rep_2gram_frac (1 - distinct/total 2-grams), and the
+    ``repetitive`` verdict at the conventional thresholds (top token
+    > 20% or duplicate 2-grams > 50%).  All JVM-side: one explode per
+    signal, map-side partial aggregates — scales like any word count.
+    """
+    toks = _tokens(F.col("text"))
+    base = documents.select("doc_id", toks.alias("t"))
+
+    tok_counts = (
+        base.select("doc_id", F.explode("t").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    grams = base.select(
+        "doc_id",
+        F.when(
+            F.size("t") >= 2,
+            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("g"),
+    )
+    gram_counts = (
+        grams.select("doc_id", F.explode("g").alias("gram"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_2grams"),
+            F.countDistinct("gram").alias("distinct_2grams"),
+        )
+    )
+    top_frac = F.round(F.col("top_c") / F.col("n_tokens"), 6)
+    rep_frac = F.round(
+        F.when(
+            F.coalesce(F.col("total_2grams"), F.lit(0)) > 0,
+            1 - F.col("distinct_2grams") / F.col("total_2grams"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        tok_counts.join(gram_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            top_frac.alias("top_token_frac"),
+            rep_frac.alias("rep_2gram_frac"),
+        )
+        .withColumn(
+            "repetitive",
+            (F.col("top_token_frac") > 0.2) | (F.col("rep_2gram_frac") > 0.5),
+        )
+    )
