@@ -740,6 +740,30 @@ def q_asof_pairs(spark, sf):
     return out.select("user_id", "event_id", "tsu", "next_tail")
 
 
+# Planted PII rows (the raw documents table has ZERO emails/urls/long
+# digit runs — without planting, scrub agreement would be vacuous).
+# Kept as plain literals so the Spark union and the DuckDB VALUES
+# clause are built from the same strings.
+_PII_PLANTED = [
+    (900001, "contact alice at alice.johnson+hr@acme-corp.io or call "
+             "+1 555-123-4567 today"),
+    (900002, "see https://example.org/a?b=c#frag and "
+             "http://sub.test.net/path, mail bob@test.net"),
+    (900003, "no pii here just words and 123 short digits"),
+]
+
+
+def q_pii_scrub(spark, sf):
+    """PII scrub pass (training-data pipeline): per-doc email/url/phone
+    counts + md5 of the redacted text, over documents UNION planted
+    PII rows (nonzero ground truth)."""
+    from rex_spark.operators.redaction import pii_summary
+
+    base = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(_PII_PLANTED, ["doc_id", "text"])
+    return pii_summary(base.unionByName(planted))
+
+
 def q_rep_stats(spark, sf):
     """Gopher-style repetition filter signals (duplicate-2-gram and
     top-token-dominance fractions + the conventional-threshold
@@ -918,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_planted": q_neardup_planted,
         "neardup_planted_brute": q_neardup_planted_brute,
         "rep_stats": q_rep_stats,
+        "pii_scrub": q_pii_scrub,
         "asset_features": q_asset_features,
         "asset_stats": q_asset_stats,
         "asset_frames": q_asset_frames,
@@ -1071,6 +1096,36 @@ def _planted_union_sql() -> str:
                  x -> CAST(CAST(x AS DOUBLE) * {PLANT_SCALE} AS REAL)
                ) AS embedding
         FROM embeddings WHERE vec_id < {PLANT_N}
+    """
+
+
+def _pii_scrub_sql() -> str:
+    """DuckDB mirror of q_pii_scrub: same planted VALUES, same
+    patterns (written to the Java-regex/RE2 common subset —
+    rex_spark/operators/redaction.py), same email->url->phone order."""
+    from rex_spark.operators.redaction import EMAIL_RE, PHONE_RE, URL_RE
+
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _PII_PLANTED)
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{URL_RE}', '<URL>', 'g'), "
+        f"'{PHONE_RE}', '<PHONE>', 'g')"
+    )
+    return f"""
+        WITH uni AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES {vals}) AS p(doc_id, text))
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INTEGER)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(text, '{URL_RE}')) AS INTEGER)
+                 AS n_urls,
+               CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INTEGER)
+                 AS n_phones,
+               md5({scrub}) AS scrubbed_md5
+        FROM uni
     """
 
 
@@ -1532,6 +1587,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE value >= 80
         """,
+        "pii_scrub": _pii_scrub_sql(),
         "rep_stats": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
                  tc AS (SELECT doc_id,
