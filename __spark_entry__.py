@@ -878,6 +878,23 @@ def q_kg_usm(spark, sf):
     return _KG_RUNS[key]
 
 
+def q_kg_usm_ents(spark, sf):
+    """M6's other half: typed ENTITIES from the same unified pointer
+    pass that decodes the relations — the property that distinguishes
+    USM from a separate NER stage (ref usm.py:146-149 ents merge)."""
+    key = ("usm_ents", id(spark._jsparkSession))
+    if key not in _KG_RUNS:
+        from rex_spark.operators.usm import usm_entities
+
+        _KG_RUNS[key] = (
+            usm_entities(_shared_sentences(spark))
+            .select("url", "ent_type", "surface")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    return _KG_RUNS[key]
+
+
 def q_emb_lookup(spark, sf):
     """M8: static-embedding lookup — the word2vec text file is read
     through the S6 reader, broadcast-joined to the exploded document
@@ -937,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": q_kg_edges,
         "kg_casrel": q_kg_casrel,
         "kg_usm": q_kg_usm,
+        "kg_usm_ents": q_kg_usm_ents,
         "emb_lookup": q_emb_lookup,
         "triple_facets": q_triple_facets,
         "neardup_planted": q_neardup_planted,
@@ -1743,6 +1761,10 @@ def _materialized_gold_oracles() -> dict[str, str]:
         """,
         "kg_usm": f"""
             SELECT url, subj, pred, obj FROM read_parquet('{kg["usm"]}')
+        """,
+        "kg_usm_ents": f"""
+            SELECT url, ent_type, surface
+            FROM read_parquet('{kg["usm_ents"]}')
         """,
         "minhash_lsh": f"""
             WITH bands AS (SELECT * FROM read_parquet('{dd["mh_bands"]}')),

@@ -92,6 +92,7 @@ def _kg_scalar_run(n_pages: int = KG_PAGES, seed: int = KG_SEED):
     triples = set()  # (url, subj, pred, obj)
     casrel = set()
     usm = set()
+    usm_ents = set()  # (url, ent_type, surface)
     sent_triples: List[tuple] = []  # sentence-level best rows (subj, pred, obj)
     freq: Counter = Counter()  # mention surface -> occurrence count
     for p in pages:
@@ -112,9 +113,12 @@ def _kg_scalar_run(n_pages: int = KG_PAGES, seed: int = KG_SEED):
                 sent_triples.append((t[0], t[1], t[2]))
             for t in pointer_decode_sentence(tokens):
                 casrel.add((p["url"], t[0], t[1], t[2]))
-            for subj, rel, obj, *_spans in usm_sentence(tokens)[1]:
+            ents, rels = usm_sentence(tokens)
+            for surf, etype, _s, _e in ents:
+                usm_ents.add((p["url"], etype, surf))
+            for subj, rel, obj, *_spans in rels:
                 usm.add((p["url"], subj, rel, obj))
-    return triples, casrel, usm, sent_triples, freq
+    return triples, casrel, usm, usm_ents, sent_triples, freq
 
 
 def _canonicalize_py(freq: Counter) -> Dict[str, int]:
@@ -141,14 +145,14 @@ def ensure_kg_gold() -> Dict[str, str]:
     """Write kg_{triples,entities,edges,casrel}.parquet; memoized."""
     paths = {
         name: os.path.join(GOLD_DIR, f"kg_{name}.parquet")
-        for name in ("triples", "entities", "edges", "casrel", "usm")
+        for name in ("triples", "entities", "edges", "casrel", "usm", "usm_ents")
     }
     with _lock:
         if "kg" in _done:
             return paths
         import pyarrow as pa
 
-        triples, casrel, usm, sent_triples, freq = _kg_scalar_run()
+        triples, casrel, usm, usm_ents, sent_triples, freq = _kg_scalar_run()
         s = pa.string()
         for name, data in (("triples", triples), ("casrel", casrel), ("usm", usm)):
             rows = sorted(data)
@@ -161,6 +165,15 @@ def ensure_kg_gold() -> Dict[str, str]:
                     "obj": ([r[3] for r in rows], s),
                 },
             )
+        ent_rows = sorted(usm_ents)
+        _write(
+            "kg_usm_ents.parquet",
+            {
+                "url": ([r[0] for r in ent_rows], s),
+                "ent_type": ([r[1] for r in ent_rows], s),
+                "surface": ([r[2] for r in ent_rows], s),
+            },
+        )
 
         ent_of = _canonicalize_py(freq)
         groups: Dict[int, List[str]] = {}

@@ -18,7 +18,7 @@ def test_normalize_surface_py_matches_spark(spark):
     inputs (unicode punctuation, NBSP, mixed scripts)."""
     from rex_spark.operators.canonical import normalize_surface
 
-    _, _, _, _, freq = og._kg_scalar_run(n_pages=60)
+    *_rest, freq = og._kg_scalar_run(n_pages=60)
     samples = sorted(freq) + [
         "Acme, Corp.", "  spaced\tout ", "naïve—dash", "foo bar",
         "中文。句子", "½ measure", "a_b-c.d", "№5", "éclair", "",
