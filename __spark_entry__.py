@@ -1123,7 +1123,11 @@ def _pii_scrub_sql() -> str:
     rex_spark/operators/redaction.py), same email->url->phone order."""
     from rex_spark.operators.redaction import EMAIL_RE, PHONE_RE, URL_RE
 
-    vals = ", ".join(f"({i}, '{t}')" for i, t in _PII_PLANTED)
+    # '' -> SQL-escaped quote: a planted text with an apostrophe must
+    # not turn the VALUES clause into a parse error
+    vals = ", ".join(
+        f"({i}, '{t.replace(chr(39), chr(39) * 2)}')" for i, t in _PII_PLANTED
+    )
     scrub = (
         f"regexp_replace(regexp_replace(regexp_replace(text, "
         f"'{EMAIL_RE}', '<EMAIL>', 'g'), "

@@ -29,7 +29,16 @@ PROBES = (1, 2, 4, 8)
 
 
 def measure(spark):
-    from rex_spark.operators.similarity import cosine_topk, ivf_topk
+    import hashlib
+
+    import numpy as np
+
+    from rex_spark.operators.similarity import (
+        _ivf_rows,
+        cosine_topk,
+        ivf_fit,
+        ivf_topk,
+    )
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
     n_vecs = emb.count()
@@ -38,8 +47,24 @@ def measure(spark):
         (r["query_id"], r["neighbor_id"])
         for r in cosine_topk(emb, query_ids=qids, k=K).collect()
     }
+
+    # loop-invariant: the full vector pull, the md5 hash-sample order
+    # (the same one ivf_topk trains on), and a vec_id -> row position
+    # map (NEVER assume vec_id == index — a regenerated table with
+    # 1-based or sparse ids would silently shift every probe lookup)
+    rows_v = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    vecs = [r["embedding"] for r in rows_v]
+    ids = [r["vec_id"] for r in rows_v]
+    pos_of = {vid: i for i, vid in enumerate(ids)}
+    hash_order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+    )[:4096]
+
     rows = []
     for cents in CENTROIDS:
+        # fit depends only on cents — once per centroids setting
+        centroids = ivf_fit([vecs[i] for i in hash_order], n_centroids=cents)
         for probe in PROBES:
             if probe > cents:
                 continue
@@ -59,35 +84,13 @@ def measure(spark):
                 walls.append(time.perf_counter() - t0)
             recall = len(exact & ap) / len(exact)
             # candidate mass = sum over queries of probed-list sizes,
-            # measured from the same deterministic fit the query used
-            import hashlib
-
-            import numpy as np
-
-            from rex_spark.operators.similarity import _ivf_rows, ivf_fit
-
-            rows_v = (
-                emb.select("vec_id", "embedding").orderBy("vec_id").collect()
-            )
-            vecs = [r["embedding"] for r in rows_v]
-            ids = [r["vec_id"] for r in rows_v]
-            # the same md5 hash-sample ivf_topk trains on
-            hash_order = sorted(
-                range(len(ids)),
-                key=lambda i: (
-                    hashlib.md5(str(ids[i]).encode()).hexdigest(),
-                    ids[i],
-                ),
-            )[:4096]
-            centroids = ivf_fit(
-                [vecs[i] for i in hash_order], n_centroids=cents
-            )
+            # from the same deterministic fit the query used
             assign, probes_m = _ivf_rows(vecs, centroids, probe)
             list_sizes = np.bincount(assign, minlength=cents)
             n_cand = sum(
-                int(list_sizes[c] - (assign[q] == c))
+                int(list_sizes[c] - (assign[pos_of[q]] == c))
                 for q in qids
-                for c in probes_m[q]
+                for c in probes_m[pos_of[q]]
             )
             rows.append(
                 {
@@ -123,9 +126,28 @@ def render(rows, n_vecs) -> str:
             f"| {r['centroids']} | {r['probe']} | {r['recall']} "
             f"| {r['cand_per_query']} | {r['scan_frac']} | {r['sec']} |"
         )
+    default = next(
+        (r for r in rows if r["centroids"] == 16 and r["probe"] == 4), None
+    )
+    cited = (
+        f"reaches only {default['recall']} recall at {default['scan_frac']} "
+        "of the scan"
+        if default
+        else "was not in this grid"
+    )
     lines += [
         "",
-        "Measured honestly: on this UNCORRELATED worst case the shipped default (16 centroids x 4 probes) reaches only 0.56 recall at 0.25 of the scan — recall tracks probed mass almost linearly because without cluster structure the inverted lists are arbitrary.  That is exactly why the engine ships TWO ANN families: hyperplane-LSH dominates unstructured embeddings (0.9 recall at 0.64 scan above), while IVF wins on clustered ones (recall >= 0.9 pinned by tests/test_similarity_recall.py at the same 16x4 setting).  At scale, hold inverted-list length ~constant by growing n_centroids ~ n/target and keep the fit on the bounded hash-sample (similarity.py).",
+        "Measured honestly: on this UNCORRELATED worst case the shipped "
+        f"default (16 centroids x 4 probes) {cited} — recall tracks "
+        "probed mass almost linearly because without cluster structure "
+        "the inverted lists are arbitrary.  That is exactly why the "
+        "engine ships TWO ANN families: hyperplane-LSH dominates "
+        "unstructured embeddings (0.9 recall at 0.64 scan above), while "
+        "IVF wins on clustered ones (recall >= 0.9 pinned by "
+        "tests/test_similarity_recall.py at the same 16x4 setting).  At "
+        "scale, hold inverted-list length ~constant by growing "
+        "n_centroids ~ n/target and keep the fit on the bounded "
+        "hash-sample (similarity.py).",
         "",
     ]
     return "\n".join(lines)
