@@ -120,7 +120,7 @@ def bench_once() -> dict:
     import __spark_entry__ as entry_mod
 
     spark = get_session(master=f"local[{CPUS}]", app_name="rex_spark_bench")
-    qmap = entry_mod.queries()
+    qmap = entry_mod.bench_queries()
     timings: dict[str, float] = {}
     detail: dict[str, list[float]] = {}
 

@@ -99,7 +99,14 @@ def filter_valid_mentions(
     (kept, dropped); the reference logs exactly that drop count per
     transform — pass a pyspark Observation to fold the count into the
     caller's first action (zero extra jobs), then land it via
-    StageStore.write_metrics."""
+    StageStore.write_metrics.
+
+    Observation caveat: the counts are valid only after a FULL action
+    over one branch (e.g. kept.count(), as the pipeline and tests do).
+    Observation.get returns after the FIRST action touching the
+    observed plan — a partial scan (first()/limit) or an action on the
+    dropped branch would report that job's partial/complementary pass,
+    not a full input count."""
     fits = F.col("end") <= max_seq_len
     if observation is not None:
         mentions = mentions.observe(

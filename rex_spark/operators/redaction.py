@@ -36,11 +36,19 @@ _PATTERNS = [
 def scrub_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """documents -> (original columns, n_emails, n_urls, n_phones,
     scrubbed) with PII spans replaced by typed placeholders."""
+    # NULL text would diverge from the DuckDB oracle (Spark's
+    # size(regexp_extract_all(NULL)) -> -1 vs DuckDB's len(...) -> NULL),
+    # so both sides coalesce to '' before matching.
     out = documents
-    scrubbed = F.col(text_col)
+    scrubbed = F.coalesce(F.col(text_col), F.lit(""))
     for name, pat, repl in _PATTERNS:
         out = out.withColumn(
-            name, F.size(F.regexp_extract_all(text_col, F.lit(pat), F.lit(0)))
+            name,
+            F.size(
+                F.regexp_extract_all(
+                    F.coalesce(F.col(text_col), F.lit("")), F.lit(pat), F.lit(0)
+                )
+            ),
         )
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return out.withColumn("scrubbed", scrubbed)
