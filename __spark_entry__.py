@@ -955,6 +955,20 @@ def q_asset_frames(spark, sf):
     )
 
 
+def q_asset_decode(spark, sf):
+    """REAL multimodal decode: the fixture's image/audio payloads are
+    genuine PNG/BMP/PCM-WAV bytes (kernels/codecs.py, stdlib-only);
+    decode_stats parses them inside the Arrow batch and emits
+    integer-exact pixel/sample statistics.  Gold is computed from the
+    SOURCE arrays (pre-encode), so a green row certifies the
+    encode -> distributed-decode round-trip.  mp4 rows stay
+    'unsupported' (the NotImplementedError contract for codecs that
+    need a library)."""
+    from rex_spark.operators.multimodal import decode_stats, make_decodable_assets
+
+    return decode_stats(make_decodable_assets(spark, 120))
+
+
 # ---------------------------------------------------------------------------
 # Consolidated (variant-tagged) query surfaces.
 #
@@ -1172,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (mapping documented in README.md)."""
     return {
         # --- merged / new this round ---
+        "asset_decode": q_asset_decode,          # real PNG/BMP/WAV decode (r4)
         "kg_extractors": q_kg_extractors,        # was kg_triples/kg_casrel/kg_usm
         "ner_decode": q_ner_decode,              # was ner_decode_sql/_udf + crf_decode
         "ann_topk": q_ann_topk,                  # was cosine_topk/lsh_ann_topk/ivf_topk
@@ -1958,6 +1973,7 @@ def _materialized_gold_oracles() -> dict[str, str]:
     ann = og.ensure_ann_gold(ORACLE_SF)
     ivf = og.ensure_ivf_gold(ORACLE_SF)
     assets = og.ensure_asset_gold()
+    codec = og.ensure_codec_gold()
     emb = og.ensure_emb_gold()
     annp = og.ensure_ann_gold_planted(ORACLE_SF)
     return {
@@ -2105,6 +2121,11 @@ def _materialized_gold_oracles() -> dict[str, str]:
             SELECT asset_id, frame_idx, t_ms, frame_md5
             FROM read_parquet('{assets["asset_frames"]}')
         """,
+        "asset_decode": f"""
+            SELECT asset_id, mime, status, channels, dim_a, dim_b,
+                   n_values, sum_val, min_val, max_val
+            FROM read_parquet('{codec["asset_decode"]}')
+        """,
         "asset_stats": f"""
             SELECT kind, count(*) AS n_assets,
                    CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
@@ -2243,8 +2264,9 @@ def oracle_sql() -> dict[str, str]:
     }
     passthrough = [
         "kg_entities", "kg_edges", "kg_usm_ents", "emb_lookup",
-        "triple_facets", "pii_scrub", "asset_features", "asset_stats",
-        "asset_frames", "mrc_overlap", "exact_dedup", "span_matrix",
+        "triple_facets", "pii_scrub", "asset_decode", "asset_features",
+        "asset_stats", "asset_frames", "mrc_overlap", "exact_dedup",
+        "span_matrix",
         "mrc_union", "multi_hot", "confusion", "agg_pricing",
         "join_lookup", "pairgen", "bag_one", "window_dedup", "topk",
         "set_except", "dict_encode", "vocab", "label_count",

@@ -1,15 +1,18 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: binary payloads + typed metadata + REAL decode.
 
-Images/audio/video are ``binary`` columns with a metadata struct; the
+Images/audio/video are ``binary`` columns with a metadata struct.  The
 Spark-side machinery (schemas, partition-friendly batch shapes, Arrow
-UDF signatures, feature tables) is real and tested, while the actual
-codec work is stubbed: the container has no image/audio libraries, so
-``decode_asset`` raises NotImplementedError by contract and
-``extract_features`` computes a deterministic fake feature vector from
-the payload bytes (hash-derived), exercising the full distributed path.
-
-At deployment you swap ``_decode_stub``/``_feature_kernel`` for real
-Pillow/torchaudio kernels — signatures and schemas stay unchanged.
+UDF signatures, feature tables) is real and tested, and — since r4 —
+so is the decode for the stdlib-decodable container formats:
+``decode_asset`` parses PCM WAV, BMP and PNG payloads into
+sample/pixel arrays (kernels/codecs.py, pure struct+zlib) and
+``decode_stats``/``extract_features`` compute real integer-exact
+statistics from them.  NotImplementedError remains only for genuinely
+compressed codecs (video/mp4, jpeg, ...) where a deployment build
+swaps in Pillow/torchaudio/pyav — for those mimes
+``extract_features`` falls back to the deterministic hash-derived
+feature stand-in (the model-feature slot), exercising the same
+distributed path.
 """
 
 from __future__ import annotations
@@ -55,7 +58,14 @@ FEATURES_SCHEMA = StructType(
 )
 
 FEATURE_DIM = 16
-_KINDS = [("image", "image/png"), ("audio", "audio/wav"), ("video", "video/mp4")]
+# make_assets (the opaque plumbing fixture): payloads are seeded bytes,
+# honestly mimed as octet-stream — they exercise batch shapes, fan-out
+# and the hash-feature slot without claiming to be decodable media.
+_KINDS = [
+    ("image", "application/octet-stream"),
+    ("audio", "application/octet-stream"),
+    ("video", "application/octet-stream"),
+]
 
 
 def make_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
@@ -80,6 +90,151 @@ def make_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, schema=ASSETS_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Decodable fixture: real PNG/BMP/WAV payloads, per-asset deterministic
+# (make_page-style: synthesis parallelizes over asset ids at scale, and
+# the oracle gold recomputes stats from the same SOURCE arrays without
+# ever running the decoders — certifying encode -> distributed decode).
+# ---------------------------------------------------------------------------
+
+_SM_GAMMA = 0x9E3779B97F4A7C15
+
+
+def _value_stream(tag: str, n: int) -> np.ndarray:
+    """n deterministic uint64s: splitmix64 over a hash64-seeded counter."""
+    from ..kernels.hashing import _np_splitmix64, hash64
+
+    base = np.uint64(hash64(tag))
+    idx = (np.arange(1, n + 1, dtype=np.uint64)) * np.uint64(_SM_GAMMA)
+    return _np_splitmix64(base + idx)
+
+
+def _asset_source(i: int, seed: int):
+    """(kind, mime, source_array, meta) for decodable asset i.
+
+    Slots cycle png / bmp / wav / mp4; the mp4 slot carries opaque
+    seeded bytes (decode_asset raises NotImplementedError for it,
+    pinning the unsupported-mime contract).  meta = (width, height,
+    duration_ms, sample_rate, channels).
+    """
+    slot = i % 4
+    tag = f"asset:{seed}:{i}"
+    if slot in (0, 1):  # png / bmp image
+        w = 16 + (i * 7) % 81
+        h = 16 + (i * 11) % 81
+        if slot == 0:
+            nch = (1, 3, 4)[(i // 4) % 3]
+            shape = (h, w) if nch == 1 else (h, w, nch)
+            mime = "image/png"
+        else:
+            nch, shape, mime = 3, (h, w, 3), "image/bmp"
+        vals = _value_stream(tag, h * w * nch)
+        pixels = (vals % np.uint64(256)).astype(np.uint8).reshape(shape)
+        return "image", mime, pixels, (w, h, None, None, nch)
+    if slot == 2:  # PCM wav
+        rate = 8000
+        channels = 1 + (i // 4) % 2
+        dur_ms = 400 + i % 1200
+        n_frames = dur_ms * rate // 1000
+        vals = _value_stream(tag, n_frames * channels)
+        samples = (
+            (vals % np.uint64(65536)).astype(np.int64) - 32768
+        ).astype(np.int16).reshape(n_frames, channels)
+        return "audio", "audio/wav", samples, (None, None, dur_ms, rate, channels)
+    vals = _value_stream(tag, 8 + i % 8)  # opaque mp4 slot
+    payload = b"\x00\x00\x00\x18ftypmp42" + vals.astype("<u8").tobytes()
+    return "video", "video/mp4", payload, (None, None, 2000 + i % 3000, None, None)
+
+
+def _encode_source(kind: str, mime: str, source) -> bytes:
+    from ..kernels import codecs
+
+    if kind == "image":
+        return (
+            codecs.encode_png(source, filter_mode="cycle")
+            if mime == "image/png"
+            else codecs.encode_bmp(source)
+        )
+    if kind == "audio":
+        return codecs.encode_wav(source, 8000, 16)
+    return source  # opaque
+
+
+def make_decodable_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Asset table whose image/audio payloads are REAL encoded media."""
+    rows = []
+    for i in range(n):
+        kind, mime, source, (w, h, dur, _rate, _ch) = _asset_source(i, seed)
+        rows.append((i, kind, _encode_source(kind, mime, source), mime, w, h, dur))
+    return spark.createDataFrame(rows, schema=ASSETS_SCHEMA)
+
+
+DECODE_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("mime", StringType(), False),
+        StructField("status", StringType(), False),
+        StructField("channels", IntegerType(), True),
+        StructField("dim_a", IntegerType(), True),  # width | sample_rate
+        StructField("dim_b", IntegerType(), True),  # height | n_frames
+        StructField("n_values", LongType(), True),
+        StructField("sum_val", LongType(), True),
+        StructField("min_val", LongType(), True),
+        StructField("max_val", LongType(), True),
+    ]
+)
+
+
+def decode_stats_row(payload: bytes, mime: str):
+    """Scalar kernel: decoded integer-exact statistics for one asset
+    (shared verbatim by the distributed path and any driver replica)."""
+    try:
+        decoded = decode_asset(payload, mime)
+    except NotImplementedError:
+        return ("unsupported", None, None, None, None, None, None, None)
+    if decoded[0] == "audio":
+        _, rate, channels, samples = decoded
+        vals = samples.astype(np.int64).ravel()
+        dim_a, dim_b = rate, samples.shape[0]
+    else:
+        _, w, h, channels, pixels = decoded
+        vals = pixels.astype(np.int64).ravel()
+        dim_a, dim_b = w, h
+    return (
+        "ok",
+        int(channels),
+        int(dim_a),
+        int(dim_b),
+        int(vals.size),
+        int(vals.sum()),
+        int(vals.min()),
+        int(vals.max()),
+    )
+
+
+def decode_stats(assets: DataFrame) -> DataFrame:
+    """assets -> per-asset REAL decoded statistics (integer-exact, so
+    the oracle can compare hash-exactly against source-array gold).
+    Narrow plan: payloads are decoded inside the Arrow batch and only
+    the 10 stat columns ever leave the scan stage."""
+    src = assets.select("asset_id", "mime", "payload")
+
+    def stat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (aid, mime, *decode_stats_row(bytes(payload), mime))
+                for aid, mime, payload in zip(
+                    pdf["asset_id"], pdf["mime"], pdf["payload"]
+                )
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in DECODE_STATS_SCHEMA.fields],
+            )
+
+    return src.mapInPandas(stat_batches, schema=DECODE_STATS_SCHEMA)
+
+
 def _feature_kernel(payload: bytes, kind: str) -> np.ndarray:
     """Deterministic fake feature extractor (stands in for a real
     decoder+model); derived purely from payload bytes."""
@@ -92,31 +247,91 @@ def _feature_kernel(payload: bytes, kind: str) -> np.ndarray:
     return out
 
 
-def decode_asset(payload: bytes, kind: str):
-    """REAL-decoder slot.  The sandbox has no codec libraries; the
-    deployment build replaces this body (signature is the contract)."""
+_DECODERS = {
+    "audio/wav": "audio",
+    "audio/x-wav": "audio",
+    "image/bmp": "image",
+    "image/png": "image",
+}
+
+
+def decode_asset(payload: bytes, mime: str):
+    """REAL decode for the stdlib-decodable mimes.
+
+    Returns ``("audio", sample_rate, channels, samples[int32 F x C])``
+    or ``("image", width, height, channels, pixels[uint8 H x W (x C)])``.
+    Raises ValueError on corrupt payloads and NotImplementedError for
+    mimes needing a codec library (video/mp4, jpeg, ...) — the
+    deployment build swaps those in (signature is the contract).
+    """
+    from ..kernels import codecs
+
+    family = _DECODERS.get(mime)
+    if family == "audio":
+        rate, channels, samples = codecs.decode_wav(payload)
+        return ("audio", rate, channels, samples)
+    if family == "image":
+        pixels = (
+            codecs.decode_png(payload)
+            if mime == "image/png"
+            else codecs.decode_bmp(payload)
+        )
+        h, w = pixels.shape[:2]
+        nch = 1 if pixels.ndim == 2 else pixels.shape[2]
+        return ("image", w, h, nch, pixels)
     raise NotImplementedError(
-        f"no codec library available for kind={kind}; "
+        f"no stdlib codec for mime={mime}; "
         "swap in Pillow/torchaudio/pyav at deployment"
     )
+
+
+def _stats_feature(decoded) -> np.ndarray:
+    """Deterministic FEATURE_DIM vector of REAL decoded statistics:
+    integer moments/extremes of the sample/pixel array, scaled by exact
+    float32 arithmetic (bit-stable across the gold replica)."""
+    vals = decoded[-1].astype(np.int64).ravel()
+    n = max(len(vals), 1)
+    head = [
+        float(decoded[1]),
+        float(decoded[2]),
+        float(n),
+        float(vals.sum() / n),
+        float(vals.min() if len(vals) else 0),
+        float(vals.max() if len(vals) else 0),
+    ]
+    # per-stripe means fill the remaining slots (a crude but real
+    # content signature: stripe boundaries are index-deterministic)
+    stripes = FEATURE_DIM - len(head)
+    for s in range(stripes):
+        seg = vals[s * n // stripes : (s + 1) * n // stripes]
+        head.append(float(seg.sum() / max(len(seg), 1)))
+    return np.array(head, dtype=np.float32)
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
     """assets -> fixed-dim feature table via Arrow-batched mapInPandas.
 
-    Batch shape contract: input batches carry (asset_id, kind, payload)
-    only (html-sized payloads never join the shuffle); output is one
-    row per asset with a FEATURE_DIM float vector.
+    Decodable mimes get REAL decoded statistics (_stats_feature);
+    unsupported mimes fall back to the hash-derived model-feature
+    stand-in.  Corrupt payloads of a decodable mime raise (route
+    through safety.tolerant_map_in_pandas for drop semantics).
+
+    Batch shape contract: input batches carry (asset_id, kind, mime,
+    payload) only (html-sized payloads never join a shuffle); output is
+    one row per asset with a FEATURE_DIM float vector.
     """
-    src = assets.select("asset_id", "kind", "payload")
+    src = assets.select("asset_id", "kind", "mime", "payload")
 
     def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for aid, kind, payload in zip(
-                pdf["asset_id"], pdf["kind"], pdf["payload"]
+            for aid, kind, mime, payload in zip(
+                pdf["asset_id"], pdf["kind"], pdf["mime"], pdf["payload"]
             ):
-                vec = _feature_kernel(bytes(payload), kind)
+                try:
+                    vec = _stats_feature(decode_asset(bytes(payload), mime))
+                except NotImplementedError:
+                    vec = _feature_kernel(bytes(payload), kind)
                 rows.append((aid, kind, len(payload), vec.tolist()))
             yield pd.DataFrame(
                 rows, columns=["asset_id", "kind", "n_bytes", "feature"]
@@ -137,16 +352,31 @@ FRAMES_SCHEMA = StructType(
 FRAME_BYTES = 16
 
 
-def _frame_kernel(payload: bytes, duration_ms: int, every_ms: int):
-    """Deterministic frame sampler stand-in: one fixed-size byte window
-    per sample instant, stride derived from the sample time's relative
-    position in the payload.  A real build replaces this with the codec
-    (pyav keyframe seek / torchaudio slice); the (asset, t_ms) ->
-    fixed-size frame row contract is what the pipeline depends on."""
+def _frame_kernel(payload: bytes, duration_ms: int, every_ms: int,
+                  mime: str | None = None):
+    """Deterministic frame sampler.  For PCM WAV payloads the window is
+    SAMPLE-EXACT: the frame at t_ms starts at the PCM byte of sample
+    floor(t*rate/1000) (header-seek via wav_data_span, never
+    materializing the sample array).  For other payloads it is the
+    byte-window stand-in (stride proportional to t's position) that a
+    real build replaces with the codec (pyav keyframe seek); the
+    (asset, t_ms) -> fixed-size frame row contract is what the
+    pipeline depends on."""
     n = len(payload)
+    span = None
+    if mime in ("audio/wav", "audio/x-wav"):
+        from ..kernels.codecs import wav_data_span
+
+        span = wav_data_span(payload)
     out = []
     for idx, t in enumerate(range(0, max(duration_ms, 1), every_ms)):
-        off = (t * max(n - FRAME_BYTES, 1)) // max(duration_ms, 1)
+        if span is not None:
+            data_off, data_len, rate, block = span
+            off = data_off + min(
+                (t * rate // 1000) * block, max(data_len - FRAME_BYTES, 0)
+            )
+        else:
+            off = (t * max(n - FRAME_BYTES, 1)) // max(duration_ms, 1)
         chunk = payload[off : off + FRAME_BYTES]
         out.append((idx, t, chunk.ljust(FRAME_BYTES, b"\0")))
     return out
@@ -163,17 +393,18 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     batch, no shuffle; downstream per-frame work partitions on
     (asset_id, frame_idx) without ever shuffling whole payloads.
     """
-    src = assets.select("asset_id", "kind", "payload", "duration_ms")
+    src = assets.select("asset_id", "kind", "mime", "payload", "duration_ms")
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for aid, kind, payload, dur in zip(
-                pdf["asset_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
+            for aid, kind, mime, payload, dur in zip(
+                pdf["asset_id"], pdf["kind"], pdf["mime"], pdf["payload"],
+                pdf["duration_ms"]
             ):
                 dur_ms = 1 if (dur is None or pd.isna(dur)) else int(dur)
                 for idx, t, frame in _frame_kernel(
-                    bytes(payload), dur_ms, every_ms
+                    bytes(payload), dur_ms, every_ms, mime
                 ):
                     rows.append((aid, idx, t, frame))
             yield pd.DataFrame(

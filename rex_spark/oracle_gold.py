@@ -516,6 +516,63 @@ def ensure_emb_gold() -> Dict[str, str]:
 # Asset gold (synthetic multimodal table)
 # ---------------------------------------------------------------------------
 
+def ensure_codec_gold(n: int = 120, seed: int = 42) -> Dict[str, str]:
+    """Decode-stats gold computed from the SOURCE pixel/sample arrays of
+    the decodable fixture — the decoders (kernels/codecs.py) are never
+    invoked here, so a green asset_decode row certifies the full
+    encode -> distributed Arrow decode round-trip (a decoder bug cannot
+    cancel out; encoder+decoder complementary bugs are excluded by the
+    crafted-vector unit tests in tests/test_codecs.py)."""
+    paths = {"asset_decode": os.path.join(GOLD_DIR, "asset_decode.parquet")}
+    with _lock:
+        if "codec" in _done:
+            return paths
+        import numpy as np
+        import pyarrow as pa
+
+        from .operators.multimodal import _asset_source
+
+        cols = {name: [] for name in (
+            "asset_id", "mime", "status", "channels", "dim_a", "dim_b",
+            "n_values", "sum_val", "min_val", "max_val")}
+        for i in range(n):
+            kind, mime, source, (w, h, _dur, rate, nch) = _asset_source(i, seed)
+            cols["asset_id"].append(i)
+            cols["mime"].append(mime)
+            if kind == "video":
+                cols["status"].append("unsupported")
+                for name in ("channels", "dim_a", "dim_b", "n_values",
+                             "sum_val", "min_val", "max_val"):
+                    cols[name].append(None)
+                continue
+            vals = np.asarray(source).astype(np.int64).ravel()
+            cols["status"].append("ok")
+            cols["channels"].append(nch)
+            cols["dim_a"].append(w if kind == "image" else rate)
+            cols["dim_b"].append(h if kind == "image" else source.shape[0])
+            cols["n_values"].append(int(vals.size))
+            cols["sum_val"].append(int(vals.sum()))
+            cols["min_val"].append(int(vals.min()))
+            cols["max_val"].append(int(vals.max()))
+        _write(
+            "asset_decode.parquet",
+            {
+                "asset_id": (cols["asset_id"], pa.int64()),
+                "mime": (cols["mime"], pa.string()),
+                "status": (cols["status"], pa.string()),
+                "channels": (cols["channels"], pa.int32()),
+                "dim_a": (cols["dim_a"], pa.int32()),
+                "dim_b": (cols["dim_b"], pa.int32()),
+                "n_values": (cols["n_values"], pa.int64()),
+                "sum_val": (cols["sum_val"], pa.int64()),
+                "min_val": (cols["min_val"], pa.int64()),
+                "max_val": (cols["max_val"], pa.int64()),
+            },
+        )
+        _done.add("codec")
+    return paths
+
+
 def ensure_asset_gold(n: int = 120, seed: int = 42) -> Dict[str, str]:
     """Asset metadata + feature-kernel gold computed without Spark."""
     paths = {

@@ -1,0 +1,261 @@
+"""Codec kernels (kernels/codecs.py): round-trips, hand-crafted byte
+vectors (which pin the wire format independently of our own encoders,
+excluding complementary encode/decode bugs), corrupt-input behavior,
+and the decode-stats / frame-sampling operator kernels."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rex_spark.kernels.codecs import (
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    encode_bmp,
+    encode_png,
+    encode_wav,
+    wav_data_span,
+)
+
+
+# --------------------------------------------------------------------------
+# round-trips
+# --------------------------------------------------------------------------
+
+
+def _rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+@pytest.mark.parametrize("bits", [8, 16])
+def test_wav_roundtrip(channels, bits):
+    r = _rng(channels * 100 + bits)
+    if bits == 16:
+        src = r.integers(-32768, 32768, size=(1777, channels)).astype(np.int16)
+    else:
+        src = r.integers(0, 256, size=(1777, channels)).astype(np.uint8)
+    rate, ch, out = decode_wav(encode_wav(src, 22050, bits))
+    assert (rate, ch) == (22050, channels)
+    assert np.array_equal(out, src.astype(np.int32))
+
+
+@pytest.mark.parametrize("w", [1, 2, 5, 8])  # 5 exercises row padding
+def test_bmp_roundtrip(w):
+    img = _rng(w).integers(0, 256, size=(6, w, 3)).astype(np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@pytest.mark.parametrize(
+    "shape", [(9, 11), (6, 4, 3), (13, 3, 4), (1, 1), (2, 1, 3), (1, 7, 4)]
+)
+@pytest.mark.parametrize("mode", ["none", "cycle"])
+def test_png_roundtrip(shape, mode):
+    img = _rng(len(shape) * 31 + shape[0]).integers(
+        0, 256, size=shape
+    ).astype(np.uint8)
+    out = decode_png(encode_png(img, mode))
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+@given(
+    h=st.integers(1, 9),
+    w=st.integers(1, 9),
+    nch=st.sampled_from([0, 3, 4]),
+    mode=st.sampled_from(["none", "cycle"]),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(h, w, nch, mode, seed):
+    shape = (h, w) if nch == 0 else (h, w, nch)
+    img = _rng(seed).integers(0, 256, size=shape).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(img, mode)), img)
+
+
+# --------------------------------------------------------------------------
+# hand-crafted byte vectors: the wire format itself, not our encoder
+# --------------------------------------------------------------------------
+
+
+def test_wav_crafted_bytes():
+    # 2 frames stereo 16-bit @8000: samples (1, -2), (300, -400); plus a
+    # LIST chunk the parser must skip.
+    data = struct.pack("<4h", 1, -2, 300, -400)
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 2, 8000, 32000, 4, 16)
+    lst = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    body = b"WAVE" + fmt + lst + struct.pack("<4sI", b"data", len(data)) + data
+    payload = struct.pack("<4sI", b"RIFF", len(body)) + body
+    rate, ch, out = decode_wav(payload)
+    assert (rate, ch) == (8000, 2)
+    assert out.tolist() == [[1, -2], [300, -400]]
+    off, dlen, rate2, block = wav_data_span(payload)
+    assert payload[off : off + dlen] == data and (rate2, block) == (8000, 4)
+
+
+def test_bmp_crafted_bytes():
+    # 1x2 24bpp bottom-up: file rows are (bottom) blue, (top) red.
+    # Rows padded to 4 bytes (w=1 -> 3 bytes + 1 pad).
+    rows = bytes([255, 0, 0, 0]) + bytes([0, 0, 255, 0])  # BGR: blue, red
+    info = struct.pack("<IiiHHIIiiII", 40, 1, 2, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+    img = decode_bmp(hdr + info + rows)
+    assert img.tolist() == [[[255, 0, 0]], [[0, 0, 255]]]  # top red, bottom blue
+
+
+def test_bmp_topdown_and_32bpp():
+    # 1x2 32bpp TOP-DOWN (negative height): rows in natural order.
+    rows = bytes([10, 20, 30, 99]) + bytes([40, 50, 60, 99])  # BGRA
+    info = struct.pack("<IiiHHIIiiII", 40, 1, -2, 1, 32, 0, len(rows), 0, 0, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+    img = decode_bmp(hdr + info + rows)
+    assert img.tolist() == [[[30, 20, 10]], [[60, 50, 40]]]
+
+
+def test_png_crafted_bytes():
+    # 2x2 gray, filter 0 then filter 2 (Up): raw scanlines
+    #   row0: 00 | 10 20          -> 10 20
+    #   row1: 02 | 05 05  (Up)    -> 15 25
+    raw = bytes([0, 10, 20, 2, 5, 5])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert decode_png(payload).tolist() == [[10, 20], [15, 25]]
+
+
+# --------------------------------------------------------------------------
+# corrupt / unsupported inputs
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "fn,junk",
+    [
+        (decode_wav, b"not a riff at all"),
+        (decode_bmp, b"PK\x03\x04 zipfile"),
+        (decode_png, b"\x89PNG\r\n\x1a\ngarbage"),
+        (decode_png, b"total junk"),
+    ],
+)
+def test_corrupt_raises_valueerror(fn, junk):
+    with pytest.raises(ValueError):
+        fn(junk)
+
+
+def test_png_bad_crc_raises():
+    img = _rng(3).integers(0, 256, size=(3, 3)).astype(np.uint8)
+    payload = bytearray(encode_png(img))
+    payload[-5] ^= 0xFF  # flip a byte inside IEND's CRC
+    with pytest.raises(ValueError):
+        decode_png(bytes(payload))
+
+
+def test_decode_asset_dispatch_and_unsupported():
+    from rex_spark.operators.multimodal import decode_asset
+
+    img = _rng(5).integers(0, 256, size=(4, 6, 3)).astype(np.uint8)
+    kind, w, h, nch, pix = decode_asset(encode_png(img, "cycle"), "image/png")
+    assert (kind, w, h, nch) == ("image", 6, 4, 3)
+    assert np.array_equal(pix, img)
+    with pytest.raises(NotImplementedError):
+        decode_asset(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+    with pytest.raises(ValueError):
+        decode_asset(b"junk bytes", "image/png")  # corrupt, NOT unsupported
+
+
+# --------------------------------------------------------------------------
+# operator kernels over the decodable fixture
+# --------------------------------------------------------------------------
+
+
+def test_decode_stats_row_matches_source():
+    from rex_spark.operators.multimodal import (
+        _asset_source,
+        _encode_source,
+        decode_stats_row,
+    )
+
+    for i in range(12):
+        kind, mime, source, (w, h, _d, rate, nch) = _asset_source(i, seed=42)
+        payload = _encode_source(kind, mime, source)
+        row = decode_stats_row(payload, mime)
+        if kind == "video":
+            assert row[0] == "unsupported"
+            continue
+        vals = np.asarray(source).astype(np.int64).ravel()
+        exp_a = w if kind == "image" else rate
+        exp_b = h if kind == "image" else source.shape[0]
+        assert row == (
+            "ok", nch, exp_a, exp_b, int(vals.size), int(vals.sum()),
+            int(vals.min()), int(vals.max()),
+        )
+
+
+def test_wav_frame_sampling_is_sample_exact():
+    from rex_spark.operators.multimodal import FRAME_BYTES, _frame_kernel
+
+    r = _rng(11)
+    samples = r.integers(-32768, 32768, size=(8000, 1)).astype(np.int16)
+    payload = encode_wav(samples, 8000, 16)
+    frames = _frame_kernel(payload, 1000, 250, mime="audio/wav")
+    assert [t for _, t, _ in frames] == [0, 250, 500, 750]
+    for _, t, frame in frames:
+        start = (t * 8000 // 1000)  # frame index; block_align = 2
+        expect = samples[start : start + FRAME_BYTES // 2, 0].astype("<i2")
+        assert frame == expect.tobytes().ljust(FRAME_BYTES, b"\0")
+
+
+def test_real_feature_path_uses_decoded_stats():
+    from rex_spark.operators.multimodal import (
+        _asset_source,
+        _encode_source,
+        _stats_feature,
+        decode_asset,
+    )
+
+    kind, mime, source, _meta = _asset_source(0, seed=42)  # png slot
+    payload = _encode_source(kind, mime, source)
+    vec = _stats_feature(decode_asset(payload, mime))
+    vals = np.asarray(source).astype(np.int64).ravel()
+    assert vec[2] == float(len(vals))
+    assert vec[3] == np.float32(vals.sum() / len(vals))
+    assert vec[4] == float(vals.min()) and vec[5] == float(vals.max())
+
+
+def test_decodable_assets_spark_stats(spark):
+    """Distributed decode equals the source-array gold for a small n
+    (the full-n parity is the asset_decode oracle row)."""
+    from rex_spark.operators.multimodal import (
+        _asset_source,
+        decode_stats,
+        make_decodable_assets,
+    )
+
+    out = {
+        r["asset_id"]: r
+        for r in decode_stats(make_decodable_assets(spark, 16)).collect()
+    }
+    assert len(out) == 16
+    for i in range(16):
+        kind, mime, source, (w, h, _d, rate, nch) = _asset_source(i, seed=42)
+        row = out[i]
+        assert row["mime"] == mime
+        if kind == "video":
+            assert row["status"] == "unsupported" and row["sum_val"] is None
+            continue
+        vals = np.asarray(source).astype(np.int64).ravel()
+        assert row["status"] == "ok"
+        assert row["channels"] == nch
+        assert row["dim_a"] == (w if kind == "image" else rate)
+        assert row["dim_b"] == (h if kind == "image" else source.shape[0])
+        assert (row["n_values"], row["sum_val"]) == (vals.size, vals.sum())
+        assert (row["min_val"], row["max_val"]) == (vals.min(), vals.max())
