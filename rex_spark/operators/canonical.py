@@ -48,7 +48,13 @@ from pyspark.sql.types import (
 )
 
 from ..kernels import kb
-from ..kernels.hashing import band_keys, minhash_params, minhash_signature
+from ..kernels.hashing import (
+    band_keys,
+    band_keys_batch,
+    minhash_params,
+    minhash_signature,
+    minhash_signatures_batch,
+)
 from ..kernels.textnorm import char_shingles
 
 NUM_PERM = 64
@@ -106,43 +112,88 @@ def _exact_norm_edges(nodes: DataFrame) -> DataFrame:
     )
 
 
+_SHINGLE_SCHEMA = StructType(
+    [
+        StructField("node_id", LongType(), False),
+        StructField("shingles", ArrayType(StringType()), False),
+    ]
+)
+
 _SIG_SCHEMA = StructType(
     [
         StructField("node_id", LongType(), False),
         StructField("band_id", IntegerType(), False),
         StructField("band_key", LongType(), False),
-        StructField("shingles", ArrayType(StringType()), False),
     ]
 )
+
+
+def _shingle_table(nodes: DataFrame) -> DataFrame:
+    """One Arrow pass: (node_id, sorted char-3-gram shingles of norm);
+    empty-shingle surfaces are dropped (they cannot LSH-link)."""
+
+    def shingle_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, shs = [], []
+            for node_id, norm in zip(pdf["node_id"], pdf["norm"]):
+                sh = sorted(set(char_shingles(norm or "", 3)))
+                if sh:
+                    ids.append(node_id)
+                    shs.append(sh)
+            yield pd.DataFrame({"node_id": ids, "shingles": shs})
+
+    return nodes.select("node_id", "norm").mapInPandas(
+        shingle_batches, schema=_SHINGLE_SCHEMA
+    )
 
 
 def _lsh_edges(nodes: DataFrame) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard (J6).
 
-    The signature UDF emits one row per band; the self-join on
-    (band_id, band_key) only meets near-duplicates.  Jaccard is
-    verified JVM-side with array_intersect/array_union on the (small)
-    shingle arrays carried through the band rows.
+    r4 shape (soak-profiled: the edge build dominated the CC soak
+    14:1): shingling runs in ONE Arrow pass; signatures are the
+    VECTORIZED batch kernels (minhash_signatures_batch /
+    band_keys_batch — pinned equal to the scalar kernels by
+    tests/test_property_kernels.py) derived from that shingle table;
+    and the band rows entering the bucket-size and self-join shuffles
+    are NARROW (node_id, band_id, band_key) — shingle arrays are
+    joined back only for the (small) verified-candidate set, the same
+    design dedup.py measured faster than carrying them on band rows
+    (dedup.py:215-225), and the shuffle-width argument only grows at
+    web scale.
     """
+    import numpy as np
+
     params = minhash_params(NUM_PERM)
+
+    from pyspark import StorageLevel
+
+    # surface-vocab-sized; persisted because the signature pass and the
+    # two verification joins all consume it within the caller's first
+    # materializing action.
+    sh = _shingle_table(nodes).persist(StorageLevel.MEMORY_AND_DISK)
 
     def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for node_id, norm in zip(pdf["node_id"], pdf["norm"]):
-                sh = sorted(set(char_shingles(norm or "", 3)))
-                if not sh:
-                    continue
-                sig = minhash_signature(sh, params)
-                for band_id, key in enumerate(band_keys(sig, NUM_BANDS)):
-                    rows.append((node_id, band_id, key - (1 << 63), sh))
+            ids = pdf["node_id"].to_numpy()
+            d = len(ids)
+            sigs = minhash_signatures_batch(
+                [set(s) for s in pdf["shingles"]], params
+            )
+            keys = band_keys_batch(sigs, NUM_BANDS)
             yield pd.DataFrame(
-                rows, columns=["node_id", "band_id", "band_key", "shingles"]
-            ).astype({"band_id": "int32"} if rows else {})
+                {
+                    "node_id": np.repeat(ids, NUM_BANDS),
+                    "band_id": np.tile(np.arange(NUM_BANDS, dtype=np.int32), d),
+                    "band_key": (
+                        keys.reshape(-1).view(np.int64)
+                        if d
+                        else np.array([], dtype=np.int64)
+                    ),
+                }
+            )
 
-    banded = nodes.select("node_id", "norm").mapInPandas(
-        sig_batches, schema=_SIG_SCHEMA
-    )
+    banded = sh.mapInPandas(sig_batches, schema=_SIG_SCHEMA)
     # cap degenerate buckets (count them instead of letting the join blow up)
     bucket_sizes = banded.groupBy("band_id", "band_key").agg(
         F.count(F.lit(1)).alias("bsz")
@@ -150,31 +201,33 @@ def _lsh_edges(nodes: DataFrame) -> DataFrame:
     banded = banded.join(
         bucket_sizes.where(F.col("bsz") <= MAX_BUCKET), ["band_id", "band_key"]
     )
-    left = banded.select(
-        "band_id",
-        "band_key",
-        F.col("node_id").alias("a"),
-        F.col("shingles").alias("sh_a"),
-    )
-    right = banded.select(
-        "band_id",
-        "band_key",
-        F.col("node_id").alias("b"),
-        F.col("shingles").alias("sh_b"),
-    )
     cand = (
-        left.join(right, ["band_id", "band_key"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", "sh_a", "sh_b")
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_id", "band_key"])
+        .where(F.col("x.node_id") < F.col("y.node_id"))
+        .select(
+            F.col("x.node_id").alias("a"), F.col("y.node_id").alias("b")
+        )
         .dropDuplicates(["a", "b"])
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        cand.withColumn("jaccard", inter / union)
+    verified = (
+        cand.join(
+            sh.select(F.col("node_id").alias("a"), F.col("shingles").alias("sh_a")),
+            "a",
+        )
+        .join(
+            sh.select(F.col("node_id").alias("b"), F.col("shingles").alias("sh_b")),
+            "b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("a", "b")
     )
+    return verified
 
 
 def similarity_edges(spark, nodes: DataFrame) -> DataFrame:
