@@ -49,6 +49,21 @@ def parse_args(argv):
                         "'extractor' namespace (rex_spark.registry; load "
                         "plugin packages with --include-package); an "
                         "explicit flag overrides yaml")
+    p.add_argument("--min-quality", type=float, default=None,
+                   help="drop docs with composite quality_score below this "
+                        "(textstats.doc_stats semantics)")
+    p.add_argument("--max-top-token-frac", type=float, default=None,
+                   help="drop docs whose most frequent token exceeds this "
+                        "share (Gopher repetition rule; conventional 0.2)")
+    p.add_argument("--max-rep-2gram-frac", type=float, default=None,
+                   help="drop docs whose duplicate-2gram fraction exceeds "
+                        "this (conventional 0.5)")
+    p.add_argument("--langs", default=None,
+                   help="comma-separated allowed predicted languages "
+                        "(textstats.lang_id heuristic); others dropped")
+    p.add_argument("--scrub-pii", action="store_true",
+                   help="replace email/url/phone spans with typed "
+                        "placeholders in doc text before segmentation")
     p.add_argument("--include-package", action="append", default=None,
                    help="import this package (and submodules) on the "
                         "driver before running, so its @register "
@@ -81,10 +96,16 @@ def main(argv=None) -> None:
         "master": args.master,
         "seed": args.seed,
         "extractor": args.extractor,
+        "min_quality": args.min_quality,
+        "max_top_token_frac": args.max_top_token_frac,
+        "max_rep_2gram_frac": args.max_rep_2gram_frac,
+        "langs": args.langs.split(",") if args.langs else None,
     }
     cfg = cfg.merged_with({k: v for k, v in cli.items() if v is not None})
     if args.skip_sentence_text:
         cfg = cfg.merged_with({"include_sentence_text": False})
+    if args.scrub_pii:
+        cfg = cfg.merged_with({"scrub_pii": True})
 
     if cfg.pages_table is None and cfg.synthetic_pages is None:
         raise SystemExit("need --pages-table/--synthetic (or config equivalent)")
@@ -114,6 +135,7 @@ def main(argv=None) -> None:
         score_threshold=cfg.score_threshold,
         driver_max_surfaces=cfg.driver_max_surfaces,
         extractor=cfg.extractor,
+        doc_filters=cfg.doc_filters(),
     )
     summary = {
         "triples": result["triple_set"].count(),
@@ -122,6 +144,11 @@ def main(argv=None) -> None:
         "wall_sec": round(time.perf_counter() - t0, 2),
         "resumable": store is not None,
     }
+    obs = result.get("doc_filter_metrics")
+    if obs is not None:
+        # valid here: the counts above (store path: the stage writes)
+        # ran a full action over the filtered docs branch
+        summary["doc_filters"] = {k: int(v) for k, v in obs.get.items()}
     if store is not None:
         # run-level metrics land next to the per-partition lineage rows
         # (north-rule: resumable checkpoints + lineage + metrics)

@@ -44,6 +44,26 @@ class PipelineConfig:
     score_threshold: float | None = None
     # canonicalization
     driver_max_surfaces: int | None = None
+    # documents-stage corpus-quality filters (operators/docfilters.py);
+    # all None/False = filters off, fused single-crossing plane kept
+    min_quality: float | None = None
+    max_top_token_frac: float | None = None
+    max_rep_2gram_frac: float | None = None
+    langs: list[str] | None = None
+    scrub_pii: bool = False
+
+    def doc_filters(self):
+        """Build the DocFilters spec (or None when nothing is enabled)."""
+        from .operators.docfilters import DocFilters
+
+        f = DocFilters(
+            min_quality=self.min_quality,
+            max_top_token_frac=self.max_top_token_frac,
+            max_rep_2gram_frac=self.max_rep_2gram_frac,
+            langs=tuple(self.langs) if self.langs is not None else None,
+            scrub_pii=self.scrub_pii,
+        )
+        return f if f.active() else None
 
     def merged_with(self, overrides: dict[str, Any]) -> "PipelineConfig":
         known = {f.name for f in dataclasses.fields(self)}

@@ -28,19 +28,18 @@ def _tokens(col):
     return F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
 
 
-def doc_stats(documents: DataFrame) -> DataFrame:
-    """Per-doc quality features: counts + ratios + a composite score.
-
-    quality_score mirrors the usual pretraining filters: penalize very
-    short docs, low stopword ratio, and high punctuation density.
-    """
-    toks = _tokens(F.col("text"))
+def quality_exprs(col) -> dict:
+    """Per-row quality signal EXPRESSIONS (no shuffle), shared by
+    :func:`doc_stats` and the pipeline doc filters
+    (operators/docfilters.py) so both surfaces stay in lockstep by
+    construction.  ``col`` is any string Column."""
+    toks = _tokens(col)
     n_tokens = F.size(toks)
-    n_chars = F.length("text")
+    n_chars = F.length(col)
     stop_hits = F.size(
         F.filter(toks, lambda t: t.isin(_STOPWORDS))
     )
-    punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    punct = n_chars - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
     avg_tok = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
@@ -49,38 +48,65 @@ def doc_stats(documents: DataFrame) -> DataFrame:
         + F.least(stop_ratio * 5, F.lit(1.0)) * 0.4
         + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2
     )
+    return {
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "avg_token_len": F.round(avg_tok, 4),
+        "stopword_ratio": F.round(stop_ratio, 4),
+        "punct_ratio": F.round(punct_ratio, 4),
+        "quality_score": F.round(quality, 4),
+    }
+
+
+def doc_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc quality features: counts + ratios + a composite score.
+
+    quality_score mirrors the usual pretraining filters: penalize very
+    short docs, low stopword ratio, and high punctuation density.
+    """
+    q = quality_exprs(F.col("text"))
     return documents.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        n_chars.alias("n_chars_txt"),
-        F.round(avg_tok, 4).alias("avg_token_len"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(quality, 4).alias("quality_score"),
+        q["n_tokens"].alias("n_tokens"),
+        q["n_chars"].alias("n_chars_txt"),
+        q["avg_token_len"].alias("avg_token_len"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["quality_score"].alias("quality_score"),
     )
+
+
+def lang_exprs(col) -> dict:
+    """Per-row language-ID EXPRESSIONS (argmax of marker-word hits,
+    ties -> lexicographically-first language, zero hits -> 'und'),
+    shared by :func:`lang_id` and the pipeline doc filters."""
+    toks = _tokens(col)
+    # NB: pyspark HOF lambdas must be unary (a second parameter is
+    # interpreted as the element INDEX); the comprehension evaluates
+    # F.filter eagerly, so the closure over ws is safe
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(ws)))
+        for lang, ws in sorted(LANG_MARKERS.items())
+    }
+    best = F.greatest(*scores.values())
+    pick = F.coalesce(
+        *[F.when(scores[lang] == best, F.lit(lang)) for lang in sorted(scores)]
+    )
+    return {
+        "pred_lang": F.when(best > 0, pick).otherwise(F.lit("und")),
+        "marker_hits": best,
+    }
 
 
 def lang_id(documents: DataFrame) -> DataFrame:
     """Heuristic language-ID: argmax of marker-word hit counts, ties ->
     lexicographically-first language, zero hits -> 'und'."""
-    toks = _tokens(F.col("text"))
-    scores = [
-        F.size(F.filter(toks, lambda t: t.isin(ws))).alias(f"s_{lang}")
-        for lang, ws in sorted(LANG_MARKERS.items())
-    ]
-    scored = documents.select("doc_id", "lang", *scores)
-    best = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(LANG_MARKERS)])
-    pick = F.coalesce(
-        *[
-            F.when(F.col(f"s_{lang}") == best, F.lit(lang))
-            for lang in sorted(LANG_MARKERS)
-        ]
-    )
-    return scored.select(
+    e = lang_exprs(F.col("text"))
+    return documents.select(
         "doc_id",
         "lang",
-        F.when(best > 0, pick).otherwise(F.lit("und")).alias("pred_lang"),
-        best.alias("marker_hits"),
+        e["pred_lang"].alias("pred_lang"),
+        e["marker_hits"].alias("marker_hits"),
     )
 
 
@@ -105,6 +131,58 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         F.xxhash64(norm).alias("fp_xx64"),
     )
+
+
+def repetition_exprs(col, max_tokens: int | None = 4096) -> dict:
+    """Per-row repetition signal EXPRESSIONS — the narrow (shuffle-free)
+    formulation of :func:`repetition_stats` for use inside the KG
+    pipeline's document filters.
+
+    ``repetition_stats`` computes the same signals with
+    explode + groupBy (two shuffles) because that shape is
+    SQL-oracle-able; a filter sitting between the docs and sentences
+    stages must NOT introduce a shuffle into the otherwise-narrow text
+    plane, so here the same values come from array higher-order
+    functions evaluated per row:
+
+    - ``top_token_frac``: max multiplicity via
+      ``array_max(transform(array_distinct(t), d -> size(filter(t, x -> x = d))))``
+      — O(distinct x n) per row, all JVM-side;
+    - ``rep_2gram_frac``: ``1 - size(array_distinct(g)) / size(g)``.
+
+    ``max_tokens`` caps the per-row cost on pathological documents
+    (signal computed over the first N tokens — the standard
+    quality-classifier truncation); tests pin expr == groupBy
+    formulation exactly for docs under the cap and assert the test
+    corpus never reaches it (same lockstep-cap pattern as the
+    candidate-pair cap).
+    """
+    toks = _tokens(col)
+    t = F.slice(toks, 1, max_tokens) if max_tokens else toks
+    n = F.size(t)
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(t), lambda d: F.size(F.filter(t, lambda x: x == d))
+        )
+    )
+    grams = F.when(
+        n >= 2,
+        F.transform(F.sequence(F.lit(0), n - 2), lambda i: F.concat(F.element_at(t, i + 1), F.lit(" "), F.element_at(t, i + 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams)
+    top_frac = F.round(
+        F.when(n > 0, top_count / n).otherwise(F.lit(0.0)), 6
+    )
+    rep_frac = F.round(
+        F.when(n_grams > 0, 1 - F.size(F.array_distinct(grams)) / n_grams)
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    return {
+        "n_tokens": n,
+        "top_token_frac": top_frac,
+        "rep_2gram_frac": rep_frac,
+    }
 
 
 def repetition_stats(documents: DataFrame) -> DataFrame:

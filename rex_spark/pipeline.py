@@ -105,6 +105,7 @@ def run_pipeline(
     score_threshold: float | None = None,
     driver_max_surfaces: int | None = None,
     extractor: str = "fused",
+    doc_filters=None,
 ) -> Dict[str, DataFrame]:
     """Run (or resume) the full pipeline; returns all stage DataFrames.
 
@@ -130,11 +131,25 @@ def run_pipeline(
     --include-package extension surface).  Registered paths always run
     the composable stages (their decoders are not part of the fused
     plane kernel).
+
+    ``doc_filters`` (an :class:`~rex_spark.operators.docfilters.DocFilters`)
+    enables corpus-quality filtering between docs and sentences —
+    quality-score / repetition / language cuts plus optional PII
+    scrubbing, all per-row JVM expressions (the text plane stays
+    narrow).  Active filters force the composable stage path (the
+    fused plane cannot see filtered docs); per-filter drop counts ride
+    a single Observation — with a store they land via
+    ``write_metrics("doc_filters<sfx>")`` once the docs stage commits;
+    the Observation itself is returned under ``"doc_filter_metrics"``
+    (None when the docs stage was resumed — read the stored metrics
+    table instead).  Filtered stage names carry the filter-config
+    digest so one stage root never resumes across filter settings.
     """
     from pyspark import StorageLevel
 
     from .operators.extraction import (
         extract_plane,
+        extract_triples_fused,
         plane_mentions,
         plane_sentences,
         plane_triples,
@@ -146,25 +161,52 @@ def run_pipeline(
             f"unknown extractor: {extractor!r} (register it with "
             f"@register('extractor'))"
         )
+    filters_active = doc_filters is not None and doc_filters.active()
     # extractor-dependent stages carry the extractor in their NAME so a
     # stage root written with one mechanism never resumes into the other
     # (extractor-independent stages — docs/sentences/mentions/surfaces/
-    # entities — stay shared and ARE reused across extractors)
+    # entities — stay shared and ARE reused across extractors); when
+    # doc filters are active EVERY stage additionally carries the
+    # filter digest (all downstream content depends on the kept set)
     ext_sfx = "" if extractor == "fused" else f"_{extractor}"
-    if extractor != "fused":
-        _ext = NAMESPACE_REGISTRY["extractor"][extractor]
+    fsfx = f"_fl{doc_filters.digest()}" if filters_active else ""
+    obs = None
+    fresh_docs = store is None or not store.is_committed(f"docs{fsfx}")
+    if filters_active:
+        from pyspark.sql import Observation
+
+        from .operators.docfilters import apply_doc_filters
+
+        obs = Observation() if fresh_docs else None
+
+    def make_docs():
+        d = clean_pages(pages)
+        if filters_active:
+            d = apply_doc_filters(d, doc_filters, observation=obs)
+        return d
+
+    if extractor != "fused" or filters_active:
+        _ext = (
+            extract_triples_fused
+            if extractor == "fused"
+            else NAMESPACE_REGISTRY["extractor"][extractor]
+        )
 
         def run(name, fn, **kw):
             return fn() if store is None else store.run(name, fn, **kw)
 
-        docs = run("docs", lambda: clean_pages(pages))
-        sentences = run("sentences", lambda: segment_sentences(docs))
+        docs = run(f"docs{fsfx}", make_docs)
+        if store is not None and obs is not None:
+            # docs stage write was a full action over the observed
+            # branch -> counts are final; land them next to the lineage
+            store.write_metrics(f"doc_filters{fsfx}", obs.get)
+        sentences = run(f"sentences{fsfx}", lambda: segment_sentences(docs))
         if store is None:
             sentences = sentences.persist(StorageLevel.MEMORY_AND_DISK)
-        triples = run(f"triples{ext_sfx}", lambda: _ext(sentences))
-        mentions = run("mentions", lambda: detect_mentions(sentences))
+        triples = run(f"triples{ext_sfx}{fsfx}", lambda: _ext(sentences))
+        mentions = run(f"mentions{fsfx}", lambda: detect_mentions(sentences))
         labeled = run(
-            "surfaces",
+            f"surfaces{fsfx}",
             lambda: canonicalize_surfaces(
                 spark, mentions, driver_max_surfaces=driver_max_surfaces
             ),
@@ -222,11 +264,11 @@ def run_pipeline(
     # query filters on, so partition pruning applies (Iceberg analog:
     # PARTITIONED BY pred, sorted on (src, dst))
     entities = stage(
-        "entities",
+        f"entities{fsfx}",
         lambda: entities_from_labeled(labeled).sortWithinPartitions("entity_id"),
     )
     edges = stage(
-        f"edges{ext_sfx}",
+        f"edges{ext_sfx}{fsfx}",
         lambda: edges_from_labeled(
             labeled, triples, salt_partitions=salt_partitions
         ).sortWithinPartitions("src", "dst"),
@@ -242,4 +284,5 @@ def run_pipeline(
         "entities": entities,
         "edges": edges,
         "triple_set": document_triple_set(triples),
+        "doc_filter_metrics": obs,
     }
