@@ -179,6 +179,24 @@ def lsh_ann_topk(
     )
 
 
+def _hash_sample(embeddings: DataFrame, n: int) -> list:
+    """Deterministic bounded sample: first ``n`` rows in md5(vec_id)
+    order — a seeded uniform draw with no ingest-order bias (at web
+    scale "first N ids" correlates with crawl time/source; the hash
+    order does not).  One bounded driver collect via
+    TakeOrderedAndProject (single scan, k-heap per partition)."""
+    return (
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(n)
+        .collect()
+    )
+
+
 def ivf_fit(
     vectors: np.ndarray, n_centroids: int = 16, iters: int = 5, seed: int = 1227
 ) -> np.ndarray:
@@ -250,16 +268,7 @@ def ivf_topk(
     """
     import pandas as pd
 
-    sample = (
-        embeddings.select(
-            "vec_id",
-            "embedding",
-            F.md5(F.col("vec_id").cast("string")).alias("_h"),
-        )
-        .orderBy("_h", "vec_id")
-        .limit(train_sample)
-        .collect()
-    )
+    sample = _hash_sample(embeddings, train_sample)
     centroids = ivf_fit(
         [r["embedding"] for r in sample], n_centroids=n_centroids, seed=seed
     )
@@ -322,6 +331,153 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# Measured recall/cost frontier for lsh_ann_topk, from
+# tools/ann_tradeoff.py on the sf0.01 embeddings (500 x 64-dim,
+# weakly correlated — the hardest recall regime) — the full grid with
+# wall clocks is recorded in BASELINE.md "ANN recall/cost trade".
+# Rows: (n_planes, n_tables, recall@5, scan_fraction).
+LSH_GRID_N500 = [
+    (2, 4, 0.80, 0.679), (2, 8, 0.98, 0.901), (2, 16, 1.00, 0.988),
+    (2, 32, 1.00, 1.000),
+    (4, 4, 0.39, 0.235), (4, 8, 0.73, 0.410), (4, 16, 0.90, 0.639),
+    (4, 32, 0.99, 0.854),
+    (6, 4, 0.22, 0.068), (6, 8, 0.42, 0.127), (6, 16, 0.57, 0.235),
+    (6, 32, 0.81, 0.406),
+    (8, 4, 0.06, 0.019), (8, 8, 0.13, 0.036), (8, 16, 0.22, 0.072),
+    (8, 32, 0.36, 0.138),
+]
+
+# clusterability decision boundary for select_ann: mean cosine of a
+# sample vector to its assigned IVF centroid.  Measured on both
+# regimes: weakly-correlated sf0.01/sf0.1 embeddings score 0.27-0.34,
+# planted-cluster embeddings (test_similarity_recall.py's IVF regime)
+# score 0.995 — 0.7 splits them with wide margin on both sides.
+CLUSTERED_WITHIN_COS = 0.7
+
+
+def clusterability_probe(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    seed: int = 1227,
+) -> dict:
+    """Cheap clusterability probe on the bounded hash-sample (the same
+    draw the IVF quantizer trains on — one bounded collect, no full
+    scan): fit the quantizer, then measure
+
+    - ``within``  — mean cosine of each sample vector to its assigned
+      centroid (→1 when vectors form tight angular clusters);
+    - ``between`` — mean pairwise cosine between centroids (high
+      values mean the "clusters" are not separated);
+    - ``clustered`` — within >= CLUSTERED_WITHIN_COS.
+
+    This is the quantity that predicts which ANN family wins: IVF
+    recall collapses exactly when vectors are far (in angle) from
+    every centroid, which is what low ``within`` measures.
+    """
+    sample = _hash_sample(embeddings, sample_size)
+    vecs = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
+    k = min(n_centroids, max(2, len(vecs) // 8))
+    centroids = ivf_fit(vecs, n_centroids=k, seed=seed)
+    assign, _ = _ivf_rows(vecs, centroids, 1)
+
+    def unit(a):
+        return a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+
+    vn, cn = unit(vecs), unit(centroids)
+    within = float(np.mean(np.sum(vn * cn[assign], axis=1)))
+    iu = np.triu_indices(k, 1)
+    between = float(np.mean((cn @ cn.T)[iu]))
+    return {
+        "within": within,
+        "between": between,
+        "n_centroids": k,
+        "sample_size": len(vecs),
+        "clustered": within >= CLUSTERED_WITHIN_COS,
+    }
+
+
+def select_ann(
+    embeddings: DataFrame,
+    target_recall: float = 0.9,
+    n_centroids: int = 16,
+    seed: int = 1227,
+) -> dict:
+    """Pick the ANN family + parameters for a target recall using the
+    clusterability probe and the two MEASURED recall grids
+    (BASELINE.md; tools/ann_tradeoff.py, tools/ivf_tradeoff.py):
+
+    - clustered embeddings -> IVF (its home turf: >= 0.9 recall at the
+      16x4 default, pinned by tests).  n_probe doubles above a 0.9
+      target — on clustered data recall is limited by the few
+      neighbors straddling a cluster boundary, and probing more lists
+      is the measured fix (8 probes reach 1.0 on every measured row).
+    - unclustered -> hyperplane LSH: the cheapest measured
+      (planes, tables) point whose recall clears the target
+      (min scan fraction, grid at n=500; scan fraction only shrinks
+      as n grows at fixed planes/tables, so the grid pick is an upper
+      bound on relative cost).
+    - no measured LSH point clears the target -> exact brute force
+      (honest fallback rather than an unmeasured extrapolation).
+    """
+    probe = clusterability_probe(
+        embeddings, n_centroids=n_centroids, seed=seed
+    )
+    if probe["clustered"]:
+        return {
+            "family": "ivf",
+            "params": {
+                "n_centroids": n_centroids,
+                "n_probe": 8 if target_recall > 0.9 else 4,
+            },
+            "probe": probe,
+        }
+    feasible = [row for row in LSH_GRID_N500 if row[2] >= target_recall]
+    if not feasible:
+        return {"family": "brute", "params": {}, "probe": probe}
+    planes, tables, _r, _s = min(feasible, key=lambda row: row[3])
+    return {
+        "family": "lsh",
+        "params": {"n_planes": planes, "n_tables": tables},
+        "probe": probe,
+    }
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    auto: bool = True,
+    target_recall: float = 0.9,
+    family: str | None = None,
+    dim: int = 64,
+    seed: int = 1227,
+) -> DataFrame:
+    """Top-k neighbor search with automatic ANN family selection.
+
+    ``auto=True`` (default): run :func:`select_ann` and dispatch to
+    IVF / LSH / brute with the chosen parameters.  ``family`` forces a
+    family ("lsh" / "ivf" / "brute") with its defaults; ``auto=False``
+    without a family keeps the engine default (LSH).  Output schema is
+    identical across families: (query_id, neighbor_id, cosine, rank).
+    """
+    if family is None:
+        family, params = (
+            ("lsh", {})
+            if not auto
+            else (lambda d: (d["family"], d["params"]))(
+                select_ann(embeddings, target_recall=target_recall, seed=seed)
+            )
+        )
+    else:
+        params = {}
+    if family == "ivf":
+        return ivf_topk(embeddings, query_ids, k=k, seed=seed, **params)
+    if family == "brute":
+        return cosine_topk(embeddings, query_ids, k=k)
+    return lsh_ann_topk(embeddings, query_ids, k=k, dim=dim, **params)
 
 
 def embedding_neardup_lsh(

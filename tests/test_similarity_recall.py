@@ -65,6 +65,61 @@ def test_ivf_topk_recall_on_clustered_data(spark):
     assert recall >= 0.9, f"recall@5 = {recall:.3f}"
 
 
+def _clustered_embeddings(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows, vid = [], 0
+    for _c in range(8):
+        center = rng.randn(64) * 3
+        for _ in range(20):
+            v = center + rng.randn(64) * 0.3
+            rows.append((vid, [float(np.float32(x)) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ann_auto_select_family_per_regime(spark, embeddings):
+    """The clusterability probe routes each regime to its measured-best
+    family: weakly-correlated corpus embeddings -> LSH (IVF recall
+    collapses there, BASELINE.md IVF grid), planted clusters -> IVF."""
+    from rex_spark.operators.similarity import select_ann
+
+    d_flat = select_ann(embeddings, target_recall=0.9)
+    assert d_flat["family"] == "lsh"
+    assert not d_flat["probe"]["clustered"]
+    # the pick is the cheapest measured grid point clearing 0.9
+    assert d_flat["params"] == {"n_planes": 4, "n_tables": 16}
+
+    d_clus = select_ann(_clustered_embeddings(spark), target_recall=0.9)
+    assert d_clus["family"] == "ivf"
+    assert d_clus["probe"]["clustered"]
+
+    # an unreachable target degrades honestly to brute force
+    assert select_ann(embeddings, target_recall=1.01)["family"] == "brute"
+
+
+@pytest.mark.parametrize("regime", ["flat", "clustered"])
+def test_ann_topk_auto_hits_target_recall(spark, embeddings, regime):
+    """ann_topk(auto=True) reaches >= 0.9 recall@5 on BOTH embedding
+    regimes — the whole point of shipping two families + a selector."""
+    from rex_spark.operators.similarity import ann_topk
+
+    emb = embeddings if regime == "flat" else _clustered_embeddings(spark)
+    qids = list(range(20)) if regime == "flat" else list(range(10))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, query_ids=qids, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk(emb, query_ids=qids, k=5, auto=True,
+                          target_recall=0.9).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"{regime}: recall@5 = {recall:.3f}"
+
+
 def test_lsh_ann_recall_rises_with_tables(spark, embeddings):
     qids = list(range(10))
     exact = {
