@@ -75,6 +75,66 @@ def score_pair(
     return rel, round(score, 6)
 
 
+def _score_into(
+    best: Dict[Tuple[str, str, str], ScoredTriple],
+    tokens: Sequence[str],
+    head: Mention,
+    tail: Mention,
+) -> None:
+    """Score one candidate pair and fold it into the keep-best dict
+    (strictly-greater replacement, so score ties keep the FIRST
+    encountered candidate — iteration order is part of the contract)."""
+    if (head[2], head[3]) == (tail[2], tail[3]):
+        return
+    scored = score_pair(tokens, head, tail)
+    if scored is None:
+        return
+    rel, score = scored
+    if score < kb.SCORE_THRESHOLD:
+        return
+    key = (head[0], rel, tail[0])
+    cand: ScoredTriple = (
+        head[0], rel, tail[0], head[2], head[3], tail[2], tail[3], score,
+    )
+    prev = best.get(key)
+    if prev is None or cand[7] > prev[7]:
+        best[key] = cand
+
+
+def extract_sentence_banded(
+    tokens: Sequence[str], mentions: List[Mention] | None = None
+) -> List[ScoredTriple]:
+    """Gap-banded EXACT extraction: linear-cost path for sentences
+    whose quadratic pair loop would blow past the cap (the
+    long-document recovery VERDICT r3 #6 asked for).
+
+    score_pair only ever accepts pairs with ``0 <= t_start - h_end <=
+    _MAX_GAP``, so restricting each head's tail scan (via bisect on
+    the position-sorted mention list) to exactly that band visits the
+    complete set of candidates score_pair can accept, in the same
+    (head, tail) lexicographic order as the quadratic loop — identical
+    keep-first-on-tie behavior, hence output == the uncapped
+    ``extract_sentence`` ALWAYS, at O(mentions x (_MAX_GAP + band
+    occupancy)) instead of O(mentions^2) (pinned by
+    tests/test_drop_metrics.py).  This supersedes windowed chunking
+    (W5 chunk_windows) for this extractor: the gap bound makes
+    locality exact, with no window-margin approximation and no span
+    re-anchoring.
+    """
+    from bisect import bisect_left, bisect_right
+
+    if mentions is None:
+        mentions = extract_mentions(tokens)
+    best: Dict[Tuple[str, str, str], ScoredTriple] = {}
+    starts = [m[2] for m in mentions]  # ascending by construction
+    for head in mentions:
+        lo = bisect_left(starts, head[3])
+        hi = bisect_right(starts, head[3] + _MAX_GAP)
+        for tail in mentions[lo:hi]:
+            _score_into(best, tokens, head, tail)
+    return sorted(best.values())
+
+
 def extract_sentence(
     tokens: Sequence[str], max_pairs: int | None = None
 ) -> List[ScoredTriple]:
@@ -86,33 +146,23 @@ def extract_sentence(
     keeping the max score (the dedup-keep-best window, SURVEY.md §2.5).
 
     ``max_pairs``: if set and len(mentions)^2 exceeds it, the sentence
-    is skipped entirely (returns []) — the same whole-sentence cap as
-    operators.extraction.candidate_pairs, so the fused and composable
-    paths drop identically.  None (default) is reference-exact: the
-    reference kernel has no cap, and the P/R oracle compares against
-    the uncapped composition.
+    switches to :func:`extract_sentence_banded` — the exact
+    linear-cost path — instead of the quadratic loop (pre-r4 behavior
+    dropped such sentences; they now extract fully).  The result is
+    provably identical either way, so ``max_pairs`` is purely a COST
+    bound, never a semantics knob.  None (default) keeps the
+    reference-exact quadratic composition the P/R oracle compares
+    against.  operators.extraction.candidate_pairs (the J1 pair-level
+    query surface) retains its drop cap: the full pair set really is
+    quadratic — only the gap-bounded scorer admits linear recovery.
     """
     mentions = extract_mentions(tokens)
     if max_pairs is not None and len(mentions) * len(mentions) > max_pairs:
-        return []
+        return extract_sentence_banded(tokens, mentions)
     best: Dict[Tuple[str, str, str], ScoredTriple] = {}
     for head in mentions:
         for tail in mentions:
-            if (head[2], head[3]) == (tail[2], tail[3]):
-                continue
-            scored = score_pair(tokens, head, tail)
-            if scored is None:
-                continue
-            rel, score = scored
-            if score < kb.SCORE_THRESHOLD:
-                continue
-            key = (head[0], rel, tail[0])
-            cand: ScoredTriple = (
-                head[0], rel, tail[0], head[2], head[3], tail[2], tail[3], score,
-            )
-            prev = best.get(key)
-            if prev is None or cand[7] > prev[7]:
-                best[key] = cand
+            _score_into(best, tokens, head, tail)
     return sorted(best.values())
 
 

@@ -225,9 +225,10 @@ def extract_triples_fused(
 ) -> DataFrame:
     """Fused sentences -> scored triples (shuffle-free production path).
 
-    Applies the same whole-sentence pair cap as extract_plane /
-    candidate_pairs (the pathological-sentence guard); pass None for
-    the reference-exact uncapped kernel."""
+    Shares extract_sentence's pair-cap contract with extract_plane:
+    over-cap sentences take the exact gap-banded linear path (never
+    dropped, identical output); pass None for the reference-exact
+    quadratic kernel."""
 
     def triple_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -315,11 +316,12 @@ def extract_plane(
     ``max_pairs_per_sentence`` bounds the kernel's quadratic pair loop
     on pathological sentences (a page whose "sentence" repeats a
     gazetteer surface thousands of times would otherwise stall one
-    executor core) — the SAME whole-sentence drop rule as
-    candidate_pairs, so fused and composable paths drop identically.
-    Dropped sentences are NOT silent: they emit with ``t_capped`` true
-    (mentions still populated — mention detection is linear), so
-    downstream lineage can count them (P9 contract).
+    executor core).  Over-cap sentences are NOT dropped: they route to
+    the exact gap-banded linear path (extract_sentence_banded — output
+    provably identical to the uncapped kernel) and emit with
+    ``t_capped`` true so downstream lineage can still count them (P9
+    contract).  The store-path extract_triples_fused shares the same
+    kernel call, so both planes recover identically by construction.
     """
     import pyarrow as pa
 
@@ -389,7 +391,10 @@ def extract_plane(
                         and len(ms) * len(ms) > max_pairs_per_sentence
                     )
                     cols["t_capped"].append(capped)
-                    tr = [] if capped else extract_sentence(toks)
+                    # over-cap sentences take the exact gap-banded
+                    # linear path inside extract_sentence (flagged,
+                    # never dropped)
+                    tr = extract_sentence(toks, max_pairs=max_pairs_per_sentence)
                     cols["t_subj"].append([t[0] for t in tr])
                     cols["t_pred"].append([t[1] for t in tr])
                     cols["t_obj"].append([t[2] for t in tr])
