@@ -1181,7 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order and records at most ~50 rows, so the newest / merged queries
     come first and the long-stable relational queries (green in every
     prior round AND pinned by the local pytest oracle gate) come last.
-    45 entries — every one of r3's 65 fine-grained queries survives as
+    44 entries — every one of r3's 65 fine-grained queries survives as
     a tagged variant or joined column block inside exactly one entry
     (mapping documented in README.md)."""
     return {

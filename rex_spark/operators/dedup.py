@@ -160,21 +160,16 @@ NUM_PERM = 128
 NUM_BANDS = 32
 
 
-def minhash_lsh_pairs(
+def band_rows(
     documents: DataFrame,
     n: int = 3,
-    threshold: float = 0.5,
     num_perm: int = NUM_PERM,
     num_bands: int = NUM_BANDS,
 ) -> DataFrame:
-    """LSH-blocked candidate pairs verified by exact Jaccard.
-
-    With r = num_perm/num_bands rows per band, the detection
-    probability at similarity s is 1-(1-s^r)^b (r=4, b=32: ~0.998 at
-    s=0.5).  Output schema matches ngram_jaccard_pairs; at high
-    thresholds the two agree with overwhelming probability, which the
-    tests exploit.
-    """
+    """(doc_id, text) -> one row per (doc_id, band_id, band_key):
+    the MinHash band signatures minhash_lsh_pairs blocks on, exposed
+    so the incremental path (streaming/incremental.py) can maintain
+    them as a persistent stage table with the batch kernels."""
     import numpy as np
 
     params = minhash_params(num_perm)
@@ -204,25 +199,18 @@ def minhash_lsh_pairs(
             )
 
     src = _parallelize(documents.select("doc_id", "text"))
-    banded = src.mapInPandas(sig_batches, schema=_SIG_SCHEMA)
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band_id", "band_key"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .dropDuplicates(["a", "b"])
-    )
-    # verify candidates with exact Jaccard on shingle arrays.  The
-    # arrays come from a second Arrow UDF rather than the JVM
-    # transform/slice expression: building S slice-and-concat results
-    # per document in Catalyst codegen measured ~4x slower than the
-    # same loop in Python for long documents.  Carrying the shingles on
-    # the band rows instead (one UDF pass, canonical.py-style) was
-    # MEASURED SLOWER at sf0.1 (median 1.54s vs 1.46s, 3 runs): the
-    # 32x-duplicated arrays widen the band self-join shuffle by more
-    # than the saved scan — and at web scale that shuffle amplification
-    # only grows, while this design ships shingles solely for the
-    # (small) candidate set.
+    return src.mapInPandas(sig_batches, schema=_SIG_SCHEMA)
+
+
+def shingle_rows(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, text) -> (doc_id, sh: sorted distinct shingles) — the
+    exact-Jaccard verify side of minhash_lsh_pairs, exposed for the
+    incremental path.  An Arrow UDF rather than the JVM
+    transform/slice expression: building slice-and-concat results per
+    document in Catalyst codegen measured ~4x slower than the same
+    loop in Python for long documents."""
+    src = _parallelize(documents.select("doc_id", "text"))
+
     def sh_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_ids, out_sh = [], []
@@ -232,8 +220,15 @@ def minhash_lsh_pairs(
                 out_sh.append(sorted(set(ngrams(toks, n))))
             yield pd.DataFrame({"doc_id": out_ids, "sh": out_sh})
 
-    sh = src.mapInPandas(sh_batches, schema="doc_id long, sh array<string>")
-    out = (
+    return src.mapInPandas(sh_batches, schema="doc_id long, sh array<string>")
+
+
+def verify_jaccard_pairs(
+    cand: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """(a, b) candidates x (doc_id, sh) shingles -> exact-Jaccard
+    verified pairs (a, b, jaccard >= threshold)."""
+    return (
         cand.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a")
         .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b")
         .withColumn(
@@ -244,7 +239,42 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return out
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = NUM_PERM,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """LSH-blocked candidate pairs verified by exact Jaccard.
+
+    With r = num_perm/num_bands rows per band, the detection
+    probability at similarity s is 1-(1-s^r)^b (r=4, b=32: ~0.998 at
+    s=0.5).  Output schema matches ngram_jaccard_pairs; at high
+    thresholds the two agree with overwhelming probability, which the
+    tests exploit.
+
+    Composed from band_rows (banding) + shingle_rows + verify_jaccard_
+    pairs (exact verify) — the same pieces the incremental streaming
+    dedup reuses.  Verify shingles ride a second Arrow pass rather
+    than the band rows: carrying shingles on band rows (one UDF pass,
+    canonical.py-style) was MEASURED SLOWER at sf0.1 (median 1.54s vs
+    1.46s, 3 runs) — the 32x-duplicated arrays widen the band
+    self-join shuffle by more than the saved scan, and at web scale
+    that shuffle amplification only grows, while this design ships
+    shingles solely for the (small) candidate set.
+    """
+    banded = band_rows(documents, n=n, num_perm=num_perm, num_bands=num_bands)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_id", "band_key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    return verify_jaccard_pairs(cand, shingle_rows(documents, n=n), threshold)
 
 
 _SIMHASH_SCHEMA = StructType(

@@ -1,4 +1,5 @@
 from .incremental import (  # noqa: F401
+    incremental_neardup,
     incremental_triples,
     running_surface_state,
     stream_pages,

@@ -74,6 +74,118 @@ def incremental_triples(
     return writer.start()
 
 
+def incremental_neardup(
+    pages_stream: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """Incremental MinHash-LSH near-dup detection inside foreachBatch
+    against a persistent band-signature stage table (VERDICT r3 #8).
+
+    Per micro-batch of pages (doc identity = xxhash64(url)):
+
+    1. band signatures + shingle sets for the batch docs, with the
+       SAME kernels as the batch ``minhash_lsh_pairs`` (band_rows /
+       shingle_rows);
+    2. candidates = batch band rows joined against the band table
+       (previous batches + this one) on (band_id, band_key) — each
+       pair is discovered exactly once, in the batch where its LATER
+       member arrives, so new waves only pay for their own band keys,
+       never a full-history self-join;
+    3. exact-Jaccard verify against the persistent shingle table
+       (verify_jaccard_pairs), pairs appended to ``pairs``.
+
+    State tables live under ``state_root`` (bands/, shingles/,
+    pairs/), each row stamped with batch_id; every write is guarded by
+    its own batch_id-presence check and the transforms are
+    deterministic, so a replayed micro-batch is a no-op — the same
+    exactly-once argument as incremental_triples, extended to stateful
+    joins.  After all waves, the union of appended pairs equals the
+    batch ``minhash_lsh_pairs`` over the full corpus (pinned by
+    tests/test_streaming.py and tools/stream_soak.py).
+
+    Scale notes: the band table grows O(docs x bands) with fixed-width
+    rows; on an Iceberg deployment it is bucketed by band_key so the
+    per-wave candidate join co-locates without a full shuffle of
+    history.  Assumes each url is ingested in exactly one micro-batch
+    (file-drop / log-stream semantics — same assumption as
+    running_surface_state's doc counting).
+    """
+    import os
+
+    from ..operators.dedup import band_rows, shingle_rows, verify_jaccard_pairs
+
+    bands_dir = os.path.join(state_root, "bands")
+    sh_dir = os.path.join(state_root, "shingles")
+    pairs_dir = os.path.join(state_root, "pairs")
+
+    def _docs(batch_df: DataFrame) -> DataFrame:
+        return clean_pages(batch_df).select(
+            F.xxhash64("url").alias("doc_id"),
+            F.col("clean_text").alias("text"),
+        )
+
+    def _has_batch(spark: SparkSession, path: str, batch_id: int) -> bool:
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            return False
+        return df.where(F.col("batch_id") == batch_id).limit(1).count() > 0
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docs = _docs(batch_df)
+        new_bands = band_rows(docs, n=n).localCheckpoint(eager=True)
+        new_sh = shingle_rows(docs, n=n).localCheckpoint(eager=True)
+        if not _has_batch(spark, bands_dir, batch_id):
+            new_bands.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(bands_dir)
+        if not _has_batch(spark, sh_dir, batch_id):
+            new_sh.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(sh_dir)
+        if _has_batch(spark, pairs_dir, batch_id):
+            return
+        # history INCLUDING this batch's just-written rows: new-new
+        # pairs meet table-side, new-old pairs meet exactly here
+        history = spark.read.parquet(bands_dir).where(
+            F.col("batch_id") <= batch_id
+        )
+        cand = (
+            new_bands.alias("x")
+            .join(history.alias("y"), ["band_id", "band_key"])
+            .where(F.col("x.doc_id") != F.col("y.doc_id"))
+            .select(
+                F.least("x.doc_id", "y.doc_id").alias("a"),
+                F.greatest("x.doc_id", "y.doc_id").alias("b"),
+            )
+            .dropDuplicates(["a", "b"])
+        )
+        # every candidate involves >= 1 doc from THIS batch (x side is
+        # new), so a pair is only ever generated in its later member's
+        # batch — no cross-batch duplicates to filter
+        all_sh = spark.read.parquet(sh_dir).where(
+            F.col("batch_id") <= batch_id
+        ).select("doc_id", "sh")
+        verified = verify_jaccard_pairs(cand, all_sh, threshold)
+        verified.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(pairs_dir)
+
+    writer = (
+        pages_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def running_surface_state(
     pages_stream: DataFrame,
 ) -> DataFrame:

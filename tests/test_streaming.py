@@ -72,6 +72,46 @@ def test_stream_matches_batch(spark, pages_dir, tmp_path):
     ) == streamed.count()
 
 
+def test_incremental_neardup_matches_batch(spark, pages_dir, tmp_path):
+    """Streaming MinHash dedup against the persistent band table finds
+    EXACTLY the batch minhash_lsh_pairs set over the full corpus, each
+    pair discovered once (in its later member's batch), and an idle
+    re-drain appends nothing."""
+    from pyspark.sql import functions as F
+
+    from rex_spark.operators.dedup import minhash_lsh_pairs
+    from rex_spark.streaming import incremental_neardup
+
+    state = str(tmp_path / "nd_state")
+    ckpt = str(tmp_path / "nd_ckpt")
+    q = incremental_neardup(
+        stream_pages(spark, pages_dir, max_files_per_trigger=1), state, ckpt
+    )
+    _drain(q)
+
+    pairs = spark.read.parquet(os.path.join(state, "pairs"))
+    assert pairs.select("batch_id").distinct().count() >= 1
+    got = {(r["a"], r["b"], r["jaccard"]) for r in pairs.collect()}
+    assert pairs.count() == len(got)  # each pair appended exactly once
+
+    docs = clean_pages(build_pages_df(spark, N_PAGES, seed=42)).select(
+        F.xxhash64("url").alias("doc_id"), F.col("clean_text").alias("text")
+    )
+    want = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == want and len(want) > 0  # nonvacuous parity
+
+    # idle re-drain: checkpoint + batch_id guards leave state unchanged
+    n_pairs = pairs.count()
+    n_bands = spark.read.parquet(os.path.join(state, "bands")).count()
+    q2 = incremental_neardup(stream_pages(spark, pages_dir), state, ckpt)
+    _drain(q2)
+    assert spark.read.parquet(os.path.join(state, "pairs")).count() == n_pairs
+    assert spark.read.parquet(os.path.join(state, "bands")).count() == n_bands
+
+
 def test_running_surface_state(spark, pages_dir, tmp_path):
     """The applyInPandasWithState fold must converge to the batch
     surface frequency table across micro-batches (outputMode update

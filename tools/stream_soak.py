@@ -13,6 +13,11 @@ drains).  Evidence produced:
    equals the batch pipeline's document_triple_set over the identical
    full corpus — streaming and batch are the same transforms under two
    drivers, proven, not asserted.
+4. DEDUP STAGE: each wave also drains through incremental_neardup
+   (MinHash banding inside foreachBatch against the persistent
+   band-signature table); after all waves the appended pair set must
+   equal the batch minhash_lsh_pairs over the full corpus, and an
+   idle re-drain appends nothing.
 
 Usage:
   PYTHONPATH=. python tools/stream_soak.py [pages_per_wave] [n_waves] [--update-baseline]
@@ -39,6 +44,17 @@ def drain(spark, input_dir: str, output_dir: str, ckpt: str) -> float:
     return time.time() - t0
 
 
+def drain_dedup(spark, input_dir: str, state_root: str, ckpt: str) -> float:
+    from rex_spark.streaming import incremental_neardup, stream_pages
+
+    t0 = time.time()
+    q = incremental_neardup(
+        stream_pages(spark, input_dir), state_root, ckpt, available_now=True
+    )
+    q.awaitTermination()
+    return time.time() - t0
+
+
 def out_rows(spark, output_dir: str) -> int:
     try:
         return spark.read.parquet(output_dir).count()
@@ -60,6 +76,9 @@ def main() -> None:
     ckpt = os.path.join(BASE, "ckpt")
     os.makedirs(input_dir, exist_ok=True)
 
+    nd_state = os.path.join(BASE, "nd_state")
+    nd_ckpt = os.path.join(BASE, "nd_ckpt")
+
     spark = get_session(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
     waves = []
     total = 0
@@ -68,13 +87,18 @@ def main() -> None:
             spark, per_wave, seed=42, start=w * per_wave
         ).write.mode("append").parquet(input_dir)
         sec = drain(spark, input_dir, output_dir, ckpt)
+        nd_sec = drain_dedup(spark, input_dir, nd_state, nd_ckpt)
         rows = out_rows(spark, output_dir)
         waves.append(
             {
                 "wave": w,
                 "drain_sec": round(sec, 1),
+                "dedup_drain_sec": round(nd_sec, 1),
                 "cumulative_rows": rows,
                 "new_rows": rows - total,
+                "cumulative_pairs": out_rows(
+                    spark, os.path.join(nd_state, "pairs")
+                ),
                 "pages_per_sec": round(per_wave / sec, 1),
             }
         )
@@ -84,7 +108,14 @@ def main() -> None:
     # exactly-once: a drain with nothing new appends nothing
     idle_sec = drain(spark, input_dir, output_dir, ckpt)
     assert out_rows(spark, output_dir) == total, "idle drain appended rows!"
-    print({"idle_drain_sec": round(idle_sec, 1), "rows_unchanged": True})
+    n_pairs = out_rows(spark, os.path.join(nd_state, "pairs"))
+    idle_nd_sec = drain_dedup(spark, input_dir, nd_state, nd_ckpt)
+    assert out_rows(spark, os.path.join(nd_state, "pairs")) == n_pairs, (
+        "idle dedup drain appended pairs!"
+    )
+    print({"idle_drain_sec": round(idle_sec, 1),
+           "idle_dedup_drain_sec": round(idle_nd_sec, 1),
+           "rows_unchanged": True})
 
     # batch parity on the identical full corpus
     from rex_spark.operators.extraction import (
@@ -114,29 +145,68 @@ def main() -> None:
     )
     assert parity, "streaming output diverged from the batch pipeline"
 
+    # dedup batch parity: the incrementally accumulated pair set equals
+    # batch minhash_lsh_pairs over the identical full corpus
+    from pyspark.sql import functions as F
+
+    from rex_spark.operators.dedup import minhash_lsh_pairs
+    from rex_spark.operators.textplane import clean_pages as _cp
+
+    docs_all = _cp(all_pages).select(
+        F.xxhash64("url").alias("doc_id"), F.col("clean_text").alias("text")
+    )
+    batch_pairs = minhash_lsh_pairs(docs_all, threshold=0.5)
+    streamed_pairs = spark.read.parquet(
+        os.path.join(nd_state, "pairs")
+    ).select("a", "b", "jaccard")
+    nd_missing = batch_pairs.exceptAll(streamed_pairs).count()
+    nd_extra = streamed_pairs.exceptAll(batch_pairs).count()
+    n_batch_pairs = batch_pairs.count()
+    nd_parity = nd_missing == 0 and nd_extra == 0 and n_pairs == n_batch_pairs
+    print(
+        {
+            "batch_pairs": n_batch_pairs,
+            "streamed_pairs": n_pairs,
+            "nd_missing": nd_missing,
+            "nd_extra": nd_extra,
+            "dedup_parity": nd_parity,
+        }
+    )
+    assert nd_parity, "incremental dedup diverged from batch minhash_lsh_pairs"
+
     if "--update-baseline" in sys.argv:
         from tools.section_util import replace_section
 
         wave_rows = "\n".join(
-            f"| {x['wave']} | {x['drain_sec']} | {x['new_rows']:,} "
-            f"| {x['cumulative_rows']:,} | {x['pages_per_sec']:,} |"
+            f"| {x['wave']} | {x['drain_sec']} | {x['dedup_drain_sec']} "
+            f"| {x['new_rows']:,} | {x['cumulative_rows']:,} "
+            f"| {x['cumulative_pairs']:,} | {x['pages_per_sec']:,} |"
             for x in waves
         )
         section = (
             "## Streaming ingest soak (tools/stream_soak.py)\n\n"
             f"{n_waves} waves x {per_wave:,} pages dropped as parquet files "
             "and drained by the incremental pipeline (fresh availableNow "
-            "StreamingQuery per drain, shared checkpoint):\n\n"
-            "| wave | drain (s) | new triple rows | cumulative | pages/s |\n"
-            "|---|---|---|---|---|\n"
+            "StreamingQuery per drain, shared checkpoint), plus the "
+            "incremental MinHash dedup stage (banding inside foreachBatch "
+            "against the persistent band-signature table — each wave joins "
+            "only its own band keys):\n\n"
+            "| wave | drain (s) | dedup drain (s) | new triple rows "
+            "| cumulative | near-dup pairs | pages/s |\n"
+            "|---|---|---|---|---|---|---|\n"
             f"{wave_rows}\n\n"
-            f"- idle re-drain ({idle_sec:.1f} s): zero rows appended — the "
-            "checkpoint never reprocesses a consumed file, across query "
-            "restarts (each drain is a new query).\n"
+            f"- idle re-drain ({idle_sec:.1f} s triples, {idle_nd_sec:.1f} s "
+            "dedup): zero rows/pairs appended — checkpoint + batch_id "
+            "guards never reprocess a consumed file, across query restarts "
+            "(each drain is a new query).\n"
             f"- batch parity: streamed distinct triple set == batch "
             f"document_triple_set over the same {per_wave * n_waves:,} "
             f"pages ({n_batch:,} triples; exceptAll both ways = 0).  One "
             "set of transforms, two drivers.\n"
+            f"- dedup parity: incrementally accumulated pair set == batch "
+            f"minhash_lsh_pairs over the full corpus ({n_batch_pairs:,} "
+            "pairs; exceptAll both ways = 0), each pair discovered exactly "
+            "once, in the wave its later member arrived.\n"
         )
         replace_section("BASELINE.md", "## Streaming ingest soak", section)
         print("BASELINE.md updated")
