@@ -99,7 +99,11 @@ def main(argv=None) -> None:
         "min_quality": args.min_quality,
         "max_top_token_frac": args.max_top_token_frac,
         "max_rep_2gram_frac": args.max_rep_2gram_frac,
-        "langs": args.langs.split(",") if args.langs else None,
+        "langs": (
+            [s.strip() for s in args.langs.split(",") if s.strip()]
+            if args.langs
+            else None
+        ),
     }
     cfg = cfg.merged_with({k: v for k, v in cli.items() if v is not None})
     if args.skip_sentence_text:

@@ -227,6 +227,14 @@ def _lsh_edges(nodes: DataFrame) -> DataFrame:
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("a", "b")
     )
+    # materialize eagerly (edge-set-sized, tiny next to the shingle
+    # table) so the sh cache can be RELEASED here instead of leaking a
+    # persisted DataFrame per canonicalize_surfaces call for the
+    # session lifetime — same contract as the nodes persist/unpersist
+    # pair in canonicalize_surfaces.  Cluster caveat as there:
+    # localCheckpoint -> .checkpoint() on a real deployment.
+    verified = verified.localCheckpoint(eager=True)
+    sh.unpersist()
     return verified
 
 

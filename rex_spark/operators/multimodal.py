@@ -17,6 +17,7 @@ distributed path.
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -187,11 +188,20 @@ DECODE_STATS_SCHEMA = StructType(
 
 def decode_stats_row(payload: bytes, mime: str):
     """Scalar kernel: decoded integer-exact statistics for one asset
-    (shared verbatim by the distributed path and any driver replica)."""
+    (shared verbatim by the distributed path and any driver replica).
+
+    Malformed payloads of a decodable mime (bad CRC, truncated chunks)
+    report status ``corrupt`` instead of raising: one bit-flipped asset
+    in a 100 TB corpus must not fail the whole stage, and the status
+    column is exactly where a corpus-quality rollup wants the count."""
+    import zlib
+
     try:
         decoded = decode_asset(payload, mime)
     except NotImplementedError:
         return ("unsupported", None, None, None, None, None, None, None)
+    except (ValueError, zlib.error, struct.error):
+        return ("corrupt", None, None, None, None, None, None, None)
     if decoded[0] == "audio":
         _, rate, channels, samples = decoded
         vals = samples.astype(np.int64).ravel()
@@ -375,9 +385,13 @@ def _frame_kernel(payload: bytes, duration_ms: int, every_ms: int,
             off = data_off + min(
                 (t * rate // 1000) * block, max(data_len - FRAME_BYTES, 0)
             )
+            # never read past the data chunk: a sub-FRAME_BYTES data
+            # span must zero-pad, not leak the next chunk's (LIST/INFO)
+            # bytes in as "samples" — the SAMPLE-EXACT contract
+            chunk = payload[off : min(off + FRAME_BYTES, data_off + data_len)]
         else:
             off = (t * max(n - FRAME_BYTES, 1)) // max(duration_ms, 1)
-        chunk = payload[off : off + FRAME_BYTES]
+            chunk = payload[off : off + FRAME_BYTES]
         out.append((idx, t, chunk.ljust(FRAME_BYTES, b"\0")))
     return out
 

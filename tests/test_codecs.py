@@ -259,3 +259,37 @@ def test_decodable_assets_spark_stats(spark):
         assert row["dim_b"] == (h if kind == "image" else source.shape[0])
         assert (row["n_values"], row["sum_val"]) == (vals.size, vals.sum())
         assert (row["min_val"], row["max_val"]) == (vals.min(), vals.max())
+
+
+def test_decode_stats_row_reports_corrupt_not_raise():
+    """One bit-flipped asset in a corpus must yield a 'corrupt' status
+    row, never an exception that fails the whole Spark stage."""
+    from rex_spark.operators.multimodal import decode_stats_row
+
+    img = _rng(7).integers(0, 256, size=(3, 3)).astype(np.uint8)
+    payload = bytearray(encode_png(img))
+    payload[-5] ^= 0xFF  # corrupt IEND CRC
+    assert decode_stats_row(bytes(payload), "image/png") == (
+        "corrupt", None, None, None, None, None, None, None,
+    )
+    assert decode_stats_row(b"total junk", "audio/wav")[0] == "corrupt"
+    # unsupported mimes keep their own status
+    assert decode_stats_row(b"x", "video/mp4")[0] == "unsupported"
+
+
+def test_wav_frame_sampling_never_reads_past_data_chunk():
+    """A data chunk shorter than FRAME_BYTES followed by a trailing
+    LIST/INFO chunk must zero-pad, not leak the next chunk's bytes in
+    as 'samples' (the SAMPLE-EXACT contract)."""
+    from rex_spark.operators.multimodal import FRAME_BYTES, _frame_kernel
+
+    samples = np.arange(4, dtype=np.int16)[:, None]  # 8 data bytes < 16
+    payload = encode_wav(samples, 8000, 16)
+    trailer = b"LIST" + (12).to_bytes(4, "little") + b"INFOIART\x04\x00\x00\x00ABCD"
+    riff_sized = bytearray(payload + trailer)
+    riff_sized[4:8] = (len(riff_sized) - 8).to_bytes(4, "little")
+    frames = _frame_kernel(bytes(riff_sized), 1000, 500, mime="audio/wav")
+    expect = samples[:, 0].astype("<i2").tobytes().ljust(FRAME_BYTES, b"\0")
+    for _, _, frame in frames:
+        assert frame == expect
+        assert b"LIST" not in frame and b"INFO" not in frame
