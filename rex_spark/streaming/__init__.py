@@ -1,4 +1,5 @@
 from .incremental import (  # noqa: F401
+    compact_neardup_state,
     incremental_neardup,
     incremental_triples,
     running_surface_state,

@@ -186,6 +186,67 @@ def incremental_neardup(
     return writer.start()
 
 
+def compact_neardup_state(
+    spark: SparkSession, state_root: str, partitions: int | None = None
+) -> dict:
+    """Rewrite the near-dup state tables into few, join-key-clustered
+    files — the Iceberg ``rewrite_data_files`` analog for this stage
+    store.  Every drain appends one file set per micro-batch, so after
+    thousands of waves the per-wave candidate join pays file-listing
+    and tiny-file scan costs; compaction clusters ``bands`` on
+    band_key (the join key), ``shingles`` on doc_id, ``pairs`` on
+    (a, b).
+
+    Row-preserving by construction: every row including ``batch_id``
+    survives, so the ``_has_batch`` replay guards and the
+    ``batch_id <= N`` history filters behave identically after
+    compaction (pinned by tests/test_streaming.py — a post-compaction
+    wave still yields exact batch parity and an idle re-drain still
+    appends nothing).  The rewrite lands in a sibling directory, is
+    row-count-verified, then swapped in with two renames — run it
+    BETWEEN drains (no active query may hold the state open), the
+    same maintenance window Iceberg compaction wants.
+
+    Returns {table: (files_before, files_after)}.
+    """
+    import glob
+    import os
+    import shutil
+
+    layout = {
+        "bands": ["band_key", "band_id"],
+        "shingles": ["doc_id"],
+        "pairs": ["a", "b"],
+    }
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    report = {}
+    for name, keys in layout.items():
+        path = os.path.join(state_root, name)
+        if not os.path.isdir(path):
+            continue
+        before = len(glob.glob(os.path.join(path, "*.parquet")))
+        df = spark.read.parquet(path)
+        n_rows = df.count()
+        tmp = path + ".compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            df.repartition(n_parts, keys[0])
+            .sortWithinPartitions(*keys)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        if spark.read.parquet(tmp).count() != n_rows:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(f"compaction row-count mismatch for {name}")
+        old = path + ".pre-compact"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        report[name] = (before, len(glob.glob(os.path.join(path, "*.parquet"))))
+    return report
+
+
 def running_surface_state(
     pages_stream: DataFrame,
 ) -> DataFrame:

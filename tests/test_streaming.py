@@ -112,6 +112,66 @@ def test_incremental_neardup_matches_batch(spark, pages_dir, tmp_path):
     assert spark.read.parquet(os.path.join(state, "bands")).count() == n_bands
 
 
+def test_compact_neardup_state_preserves_semantics(spark, tmp_path):
+    """Compaction between drains must be invisible to the dedup
+    semantics: a post-compaction wave still discovers exactly the
+    batch pair set over the full corpus, replay guards still hold
+    (idle re-drain appends nothing), and the band table lands in
+    fewer, band_key-clustered files."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from rex_spark.operators.dedup import minhash_lsh_pairs
+    from rex_spark.streaming import compact_neardup_state, incremental_neardup
+
+    pages = build_pages_df(spark, N_PAGES, seed=42)
+    flat = tmp_path / "pages"
+    flat.mkdir()
+    for i in range(3):  # three waves, one parquet file each
+        pages.where(f"pmod(xxhash64(url), 3) = {i}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"drop{i}"))
+
+    def link_wave(i):
+        for j, f in enumerate(
+            sorted(glob.glob(str(tmp_path / f"drop{i}" / "*.parquet")))
+        ):
+            os.link(f, str(flat / f"wave{i}-{j}.parquet"))
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    link_wave(0)
+    link_wave(1)
+    _drain(incremental_neardup(
+        stream_pages(spark, str(flat), max_files_per_trigger=1), state, ckpt
+    ))
+
+    report = compact_neardup_state(spark, state, partitions=1)
+    assert set(report) == {"bands", "shingles", "pairs"}
+    files_before, files_after = report["bands"]
+    assert files_after <= files_before and files_after == 1
+
+    link_wave(2)  # a wave AFTER compaction joins the compacted history
+    _drain(incremental_neardup(stream_pages(spark, str(flat)), state, ckpt))
+
+    docs = clean_pages(pages).select(
+        F.xxhash64("url").alias("doc_id"), F.col("clean_text").alias("text")
+    )
+    want = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    got_df = spark.read.parquet(os.path.join(state, "pairs"))
+    got = {(r["a"], r["b"], r["jaccard"]) for r in got_df.collect()}
+    assert got == want and len(want) > 0
+    assert got_df.count() == len(got)  # each pair exactly once
+
+    n_pairs = got_df.count()
+    _drain(incremental_neardup(stream_pages(spark, str(flat)), state, ckpt))
+    assert spark.read.parquet(os.path.join(state, "pairs")).count() == n_pairs
+
+
 def test_running_surface_state(spark, pages_dir, tmp_path):
     """The applyInPandasWithState fold must converge to the batch
     surface frequency table across micro-batches (outputMode update
