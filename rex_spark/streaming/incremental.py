@@ -218,13 +218,18 @@ def compact_neardup_state(
         "shingles": ["doc_id"],
         "pairs": ["a", "b"],
     }
-    n_parts = partitions or spark.sparkContext.defaultParallelism
     report = {}
     for name, keys in layout.items():
         path = os.path.join(state_root, name)
         if not os.path.isdir(path):
             continue
         before = len(glob.glob(os.path.join(path, "*.parquet")))
+        # never "compact" into MORE files than exist: a table with few
+        # appended files gets at most that many back
+        n_parts = min(
+            partitions or spark.sparkContext.defaultParallelism,
+            max(before, 1),
+        )
         df = spark.read.parquet(path)
         n_rows = df.count()
         tmp = path + ".compacting"
