@@ -81,6 +81,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     while pos + 8 <= end:
         cid, size = struct.unpack_from("<4sI", payload, pos)
         pos += 8
+        if pos + size > end:
+            # A declared size past the payload means truncation; decoding
+            # the short remainder would report status 'ok' with wrong
+            # n_values/sum — honor the corrupt-status contract instead.
+            raise ValueError(f"truncated {cid!r} chunk")
         chunk = payload[pos : pos + size]
         if cid == b"fmt ":
             if size < 16:
@@ -123,6 +128,8 @@ def wav_data_span(payload: bytes) -> tuple[int, int, int, int]:
     while pos + 8 <= end:
         cid, size = struct.unpack_from("<4sI", payload, pos)
         pos += 8
+        if pos + size > end:
+            raise ValueError(f"truncated {cid!r} chunk")
         if cid == b"fmt " and size >= 16:
             _fmt, _ch, rate, _br, block, _bits = struct.unpack_from(
                 "<HHIIHH", payload, pos
@@ -292,6 +299,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     while pos + 8 <= end:
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
+        if pos + 12 + length > end:
+            # Mid-chunk truncation: unpack_from past the buffer would
+            # raise struct.error, breaking the documented ValueError
+            # contract for corrupt payloads.
+            raise ValueError("truncated PNG")
         body = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:

@@ -185,6 +185,11 @@ def _lsh_edges(nodes: DataFrame) -> DataFrame:
                 {
                     "node_id": np.repeat(ids, NUM_BANDS),
                     "band_id": np.tile(np.arange(NUM_BANDS, dtype=np.int32), d),
+                    # signed band-key CONVENTION (shared with
+                    # dedup.band_rows): uint64 -> int64 by
+                    # bit-reinterpretation (two's complement view), NOT
+                    # an offset shift — persisted band tables from the
+                    # two LSH surfaces must stay join-comparable
                     "band_key": (
                         keys.reshape(-1).view(np.int64)
                         if d
@@ -327,7 +332,10 @@ DRIVER_CC_MAX_EDGES = 200_000
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 12, driver_max_edges: int | None = None
+    edges: DataFrame,
+    max_iterations: int = 12,
+    driver_max_edges: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> Tuple[DataFrame, int]:
     """Large-star/small-star alternation until the edge set is a stable
     star forest.  Returns (node_id -> component_id mapping, iterations).
@@ -341,7 +349,13 @@ def connected_components(
 
     Each round materializes via localCheckpoint: cuts the join-loop
     lineage (REx's pickle-cache analog for iterative state) and gives
-    the optimizer fresh statistics per round.  Convergence is detected
+    the optimizer fresh statistics per round.  localCheckpoint blocks
+    live on executors and do NOT survive executor loss — fine on
+    local[*], a liability on a 1000-executor cluster where one
+    preempted node would fail the whole loop.  Pass ``checkpoint_dir``
+    to switch every round to reliable ``.checkpoint()`` into that
+    (HDFS/object-store) directory instead; results are identical
+    (pinned by tests/test_canonical_cc.py).  Convergence is detected
     by an order-independent (count, hash-sum) digest of the edge set —
     a single aggregation per round instead of two exceptAll jobs.  A
     digest collision between two DIFFERENT edge sets would stop the
@@ -368,12 +382,23 @@ def connected_components(
             schema = "node_id long, component long"
             return spark.createDataFrame(mapping, schema=schema), 0
 
-    cur = canon.localCheckpoint()
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _materialize(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _materialize(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
+    cur = _materialize(canon)
     prev_digest = _edge_digest(cur)
     iterations = 0
     for _ in range(max_iterations):
         iterations += 1
-        stepped = _small_star(_large_star(cur)).localCheckpoint()
+        stepped = _materialize(_small_star(_large_star(cur)))
         digest = _edge_digest(stepped)
         cur = stepped
         if digest == prev_digest:
@@ -499,8 +524,9 @@ def canonicalize_surfaces(
         # materialize eagerly so the nodes cache can be released now
         # instead of leaking across repeated calls in one session.
         # Cluster caveat: localCheckpoint blocks don't survive executor
-        # loss; a real deployment sets a checkpoint dir and calls
-        # .checkpoint() (or lands this stage in the StageStore).
+        # loss; a real deployment lands this stage in the StageStore
+        # (and passes checkpoint_dir= to connected_components above,
+        # which switches its loop to reliable .checkpoint()).
         .localCheckpoint(eager=True)
     )
     nodes.unpersist()

@@ -190,6 +190,12 @@ def band_rows(
                     "band_id": np.tile(
                         np.arange(num_bands, dtype=np.int32), d
                     ),
+                    # signed band-key CONVENTION (shared with
+                    # canonical._lsh_edges): uint64 -> int64 by
+                    # bit-reinterpretation (two's complement view), NOT
+                    # an offset shift — the incremental near-dup state
+                    # persists these rows, so any surface emitting band
+                    # keys must use this exact mapping
                     "band_key": (
                         keys.reshape(-1).view(np.int64)
                         if d

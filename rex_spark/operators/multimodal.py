@@ -18,6 +18,7 @@ distributed path.
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -322,9 +323,10 @@ def extract_features(assets: DataFrame) -> DataFrame:
     """assets -> fixed-dim feature table via Arrow-batched mapInPandas.
 
     Decodable mimes get REAL decoded statistics (_stats_feature);
-    unsupported mimes fall back to the hash-derived model-feature
-    stand-in.  Corrupt payloads of a decodable mime raise (route
-    through safety.tolerant_map_in_pandas for drop semantics).
+    unsupported mimes — and CORRUPT payloads of a decodable mime —
+    fall back to the hash-derived model-feature stand-in, so one
+    bit-flipped asset can never fail the whole stage (the same
+    contract decode_stats_row honors with its 'corrupt' status rows).
 
     Batch shape contract: input batches carry (asset_id, kind, mime,
     payload) only (html-sized payloads never join a shuffle); output is
@@ -340,7 +342,10 @@ def extract_features(assets: DataFrame) -> DataFrame:
             ):
                 try:
                     vec = _stats_feature(decode_asset(bytes(payload), mime))
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, zlib.error,
+                        struct.error):
+                    # NotImplementedError: no stdlib codec for this mime;
+                    # the rest: corrupt payload of a decodable mime.
                     vec = _feature_kernel(bytes(payload), kind)
                 rows.append((aid, kind, len(payload), vec.tolist()))
             yield pd.DataFrame(

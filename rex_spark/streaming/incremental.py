@@ -118,6 +118,12 @@ def incremental_neardup(
 
     from ..operators.dedup import band_rows, shingle_rows, verify_jaccard_pairs
 
+    # A crash mid-compaction can leave a table dir absent with its
+    # .pre-compact sibling holding the state; running on the bare
+    # directory would silently rebuild history from this batch alone
+    # and miss every old-vs-new pair.  Roll out of the window first.
+    recover_compaction(state_root)
+
     bands_dir = os.path.join(state_root, "bands")
     sh_dir = os.path.join(state_root, "shingles")
     pairs_dir = os.path.join(state_root, "pairs")
@@ -186,6 +192,55 @@ def incremental_neardup(
     return writer.start()
 
 
+_STATE_TABLES = ("bands", "shingles", "pairs")
+
+
+def recover_compaction(state_root: str) -> dict:
+    """Roll the near-dup state tables out of any crash window left by
+    ``compact_neardup_state``'s two-rename swap.  Idempotent; safe to
+    call between drains (and called automatically by both
+    ``incremental_neardup`` and ``compact_neardup_state``).
+
+    Per table ``t`` under ``state_root``:
+
+    - ``t`` absent + ``t.pre-compact`` present: the crash hit between
+      ``rename(t, t.pre-compact)`` and ``rename(t.compacting, t)`` —
+      restore the pre-compact table.  The rewrite (even if it finished
+      verifying) was never promoted, so it is discarded; re-running
+      compaction recovers it.  Without this, the next drain's
+      ``_has_batch`` would silently recreate the table from only the
+      new batch, losing all band/shingle history.
+    - ``t`` present + ``t.pre-compact`` present: the crash hit after
+      the swap, before cleanup — the compacted table is live; the
+      leftover is deleted.
+    - a leftover ``t.compacting`` is always deleted (it is rebuilt
+      from scratch by the next compaction).
+
+    Either way the next reader sees exactly the OLD state or exactly
+    the NEW state, never a mix.  Returns {table: action} for the
+    tables that needed any action.
+    """
+    import os
+    import shutil
+
+    actions: dict[str, str] = {}
+    for name in _STATE_TABLES:
+        path = os.path.join(state_root, name)
+        old = path + ".pre-compact"
+        tmp = path + ".compacting"
+        if os.path.isdir(old):
+            if os.path.isdir(path):
+                shutil.rmtree(old)
+                actions[name] = "dropped-pre-compact"
+            else:
+                os.rename(old, path)
+                actions[name] = "restored-pre-compact"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+            actions.setdefault(name, "dropped-compacting")
+    return actions
+
+
 def compact_neardup_state(
     spark: SparkSession, state_root: str, partitions: int | None = None
 ) -> dict:
@@ -205,13 +260,19 @@ def compact_neardup_state(
     appends nothing).  The rewrite lands in a sibling directory, is
     row-count-verified, then swapped in with two renames — run it
     BETWEEN drains (no active query may hold the state open), the
-    same maintenance window Iceberg compaction wants.
+    same maintenance window Iceberg compaction wants.  A crash
+    anywhere in the swap is recoverable: ``recover_compaction`` (run
+    on entry here and by ``incremental_neardup``) restores the
+    pre-compact table if the promotion rename never happened, so the
+    next drain always sees a complete state, old or new.
 
     Returns {table: (files_before, files_after)}.
     """
     import glob
     import os
     import shutil
+
+    recover_compaction(state_root)
 
     layout = {
         "bands": ["band_key", "band_id"],

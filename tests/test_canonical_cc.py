@@ -46,6 +46,27 @@ def test_cc_labels_are_component_min(spark):
         assert labels.get(c, c) == c
 
 
+def test_cc_reliable_checkpoint_matches(spark, tmp_path):
+    """checkpoint_dir= switches the loop's per-round materialization to
+    reliable .checkpoint() (the 100x-deployment answer to executor
+    loss); components must be identical to the localCheckpoint path and
+    the checkpoint data must actually land in the directory."""
+    import os
+
+    df = spark.createDataFrame(_hub_graph(), "a long, b long")
+    ckpt = str(tmp_path / "cc_ckpt")
+    rel, it_rel = connected_components(
+        df, driver_max_edges=0, checkpoint_dir=ckpt
+    )
+    local, _ = connected_components(df, driver_max_edges=0)
+    assert it_rel >= 1
+    assert sorted(map(tuple, rel.collect())) == sorted(
+        map(tuple, local.collect())
+    )
+    # reliable blocks were written (an RDD checkpoint dir per round)
+    assert os.path.isdir(ckpt) and len(os.listdir(ckpt)) > 0
+
+
 def test_cc_empty_edges(spark):
     df = spark.createDataFrame([], "a long, b long")
     comp, _ = connected_components(df)

@@ -159,6 +159,48 @@ def test_png_bad_crc_raises():
         decode_png(bytes(payload))
 
 
+def test_truncation_raises_valueerror():
+    """ADVICE r5: a truncated WAV data chunk must raise (-> status
+    'corrupt'), never silently decode fewer frames as 'ok'; a PNG cut
+    mid-chunk must honor the documented ValueError contract instead of
+    leaking struct.error."""
+    wav = encode_wav(np.arange(64, dtype=np.int16).reshape(32, 2), 8000)
+    with pytest.raises(ValueError):
+        decode_wav(wav[:-10])  # data chunk declares more bytes than present
+    with pytest.raises(ValueError):
+        wav_data_span(wav[:-10])
+    png = encode_png(_rng(7).integers(0, 256, (5, 5, 3)).astype(np.uint8))
+    with pytest.raises(ValueError):
+        decode_png(png[:30])  # cut mid-IHDR
+    with pytest.raises(ValueError):
+        decode_png(png[:-13])  # cut inside IDAT's trailing bytes
+
+
+def test_extract_features_tolerates_corrupt_payload(spark):
+    """One bit-flipped PNG must not fail the features stage: the
+    corrupt asset falls back to the hash stand-in feature (same
+    total-failure-free contract as decode_stats_row)."""
+    from rex_spark.operators.multimodal import (
+        _feature_kernel,
+        extract_features,
+    )
+
+    good = encode_png(_rng(11).integers(0, 256, (4, 4, 3)).astype(np.uint8))
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF  # corrupt IEND CRC
+    df = spark.createDataFrame(
+        [(0, "image", "image/png", bytes(good), None, None, None),
+         (1, "image", "image/png", bytes(bad), None, None, None)],
+        "asset_id long, kind string, mime string, payload binary, "
+        "width int, height int, duration_ms int",
+    )
+    rows = {r["asset_id"]: r for r in extract_features(df).collect()}
+    assert len(rows) == 2
+    want_fallback = _feature_kernel(bytes(bad), "image")
+    assert rows[1]["feature"] == pytest.approx(want_fallback.tolist())
+    assert rows[0]["feature"] != pytest.approx(want_fallback.tolist())
+
+
 def test_decode_asset_dispatch_and_unsupported():
     from rex_spark.operators.multimodal import decode_asset
 

@@ -172,6 +172,88 @@ def test_compact_neardup_state_preserves_semantics(spark, tmp_path):
     assert spark.read.parquet(os.path.join(state, "pairs")).count() == n_pairs
 
 
+def test_compaction_crash_windows(spark, tmp_path):
+    """A crash inside compact_neardup_state's two-rename swap must be
+    invisible to dedup semantics: the next drain sees exactly the OLD
+    state (crash between the renames -> pre-compact restored) or
+    exactly the NEW one (crash after promotion -> leftover dropped),
+    never a mix — and a re-run of compaction recovers cleanly."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from rex_spark.operators.dedup import minhash_lsh_pairs
+    from rex_spark.streaming import compact_neardup_state, incremental_neardup
+    from rex_spark.streaming.incremental import recover_compaction
+
+    pages = build_pages_df(spark, N_PAGES, seed=42)
+    flat = tmp_path / "pages"
+    flat.mkdir()
+    for i in range(3):
+        pages.where(f"pmod(xxhash64(url), 3) = {i}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"drop{i}"))
+
+    def link_wave(i):
+        for j, f in enumerate(
+            sorted(glob.glob(str(tmp_path / f"drop{i}" / "*.parquet")))
+        ):
+            os.link(f, str(flat / f"wave{i}-{j}.parquet"))
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    link_wave(0)
+    link_wave(1)
+    _drain(incremental_neardup(stream_pages(spark, str(flat)), state, ckpt))
+
+    # --- window A: crash BETWEEN rename(path, old) and rename(tmp, path)
+    # (replaying exactly the operations compact_neardup_state performs
+    # up to the crash point: verified rewrite in .compacting, table
+    # renamed away, promotion rename never happens)
+    bands = os.path.join(state, "bands")
+    tmp_dir = bands + ".compacting"
+    spark.read.parquet(bands).repartition(1, "band_key").write.mode(
+        "overwrite"
+    ).parquet(tmp_dir)
+    os.rename(bands, bands + ".pre-compact")
+    assert not os.path.isdir(bands)  # the window ADVICE flags: table gone
+
+    # next drain (wave 2) must restore the pre-compact history first —
+    # otherwise _has_batch recreates bands from wave 2 alone and every
+    # old-vs-new pair is silently missed
+    link_wave(2)
+    _drain(incremental_neardup(stream_pages(spark, str(flat)), state, ckpt))
+    docs = clean_pages(pages).select(
+        F.xxhash64("url").alias("doc_id"), F.col("clean_text").alias("text")
+    )
+    want = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    got_df = spark.read.parquet(os.path.join(state, "pairs"))
+    assert {(r["a"], r["b"], r["jaccard"]) for r in got_df.collect()} == want
+    assert len(want) > 0 and got_df.count() == len(want)
+    assert not os.path.isdir(bands + ".pre-compact")
+    assert not os.path.isdir(tmp_dir)
+
+    # re-running compaction after the crash recovers: full rewrite, green
+    report = compact_neardup_state(spark, state, partitions=1)
+    assert report["bands"][1] == 1
+
+    # --- window B: crash AFTER promotion, before rmtree(old) — the new
+    # table is live, the stale .pre-compact leftover must be dropped,
+    # and an idle re-drain appends nothing
+    n_bands = spark.read.parquet(bands).count()
+    shutil.copytree(bands, bands + ".pre-compact")
+    actions = recover_compaction(state)
+    assert actions == {"bands": "dropped-pre-compact"}
+    assert not os.path.isdir(bands + ".pre-compact")
+    n_pairs = spark.read.parquet(os.path.join(state, "pairs")).count()
+    _drain(incremental_neardup(stream_pages(spark, str(flat)), state, ckpt))
+    assert spark.read.parquet(bands).count() == n_bands
+    assert spark.read.parquet(os.path.join(state, "pairs")).count() == n_pairs
+
+
 def test_running_surface_state(spark, pages_dir, tmp_path):
     """The applyInPandasWithState fold must converge to the batch
     surface frequency table across micro-batches (outputMode update
