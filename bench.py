@@ -20,6 +20,18 @@ for why not 8 vs 32) and prints throughput at both plus scaling
 efficiency = (t_N / t_4N) / 4.  Results are also appended to BASELINE.md
 by ``--scale --update-baseline``.
 
+Noise immunity (VERDICT r4 #1): the headline JSON carries BOTH
+``median_of_N`` (primary) and ``min_of_runs`` totals — this VM's
+ambient load only ever ADDS time, so per-query minimums are the noise
+floor — plus an ``ab`` block: an ABAB-interleaved comparison of HEAD
+vs the previous round's code (fresh subprocess + SparkSession per
+run, alternated in time so slow ambient drift hits both sides
+equally).  ``python bench.py --ab <git-ref>`` runs just the AB
+comparison; the default mode runs it against ``$SPARK_GRAFT_AB_REF``
+(default: the round-4 bench commit) after the headline queries.
+Round-over-round comparisons should read ``ab.min_ratio`` /
+``ab.median_ratio``, not raw totals from different sessions.
+
 Each query is forced end-to-end with the noop sink (full computation,
 no driver-side collect of big results).
 """
@@ -151,7 +163,11 @@ def bench_once() -> dict:
         timings[name] = round(statistics.median(runs), 3)
         detail[name] = [round(t, 3) for t in runs]
 
+    # noise floor: ambient load on this shared VM only ever ADDS time,
+    # so the per-query minimum approximates the uncontended run
+    timings_min = {name: min(runs) for name, runs in detail.items()}
     total = round(sum(timings.values()), 3)
+    kg_min = timings_min["kg_pipeline"]
     sf = 0.1
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
@@ -163,13 +179,171 @@ def bench_once() -> dict:
         "unit": "sec",
         "queries": timings,
         "agg": f"median_of_{BENCH_RUNS}",
+        "value_min_of_runs": round(sum(timings_min.values()), 3),
+        "queries_min": {n: round(t, 3) for n, t in timings_min.items()},
         "query_runs": detail,
         "sf": sf,
         "kg_pages": N_PAGES,
         "kg_triples": n_triples,
         "triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec else None,
         "pages_per_sec": round(N_PAGES / kg_sec, 1) if kg_sec else None,
+        "triples_per_sec_min_run": (
+            round(n_triples / kg_min, 1) if kg_min else None
+        ),
         "cpus": CPUS,
+    }
+
+
+# ---------------------------------------------------------------------------
+# ABAB-interleaved HEAD-vs-ref comparison (VERDICT r4 #1)
+# ---------------------------------------------------------------------------
+
+# ref the default AB comparison measures against: the round-4 bench
+# commit (the code BENCH_r04.json was recorded from), so the recorded
+# round-over-round signal is load-robust even if the two rounds' bench
+# sessions saw different ambient host load.
+AB_DEFAULT_REF = os.environ.get("SPARK_GRAFT_AB_REF", "24bcf4c")
+AB_ROUNDS = int(os.environ.get("SPARK_GRAFT_AB_ROUNDS", "2"))
+AB_RUNS_PER = int(os.environ.get("SPARK_GRAFT_AB_RUNS_PER", "2"))
+
+# Self-contained runner executed in a fresh subprocess per AB leg: puts
+# the requested repo checkout FIRST on sys.path/PYTHONPATH (so both the
+# driver plan and the pickled-by-reference UDF kernels resolve to THAT
+# version — a shared session would mix old driver code with new worker
+# code), warms the JVM exactly like bench_once, then prints timed runs.
+# Uses only pipeline APIs stable since round 2.
+_AB_RUNNER = r"""
+import json, sys, time
+repo, n_pages, runs, cpus = (
+    sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+)
+sys.path.insert(0, repo)
+from rex_spark.session import get_session
+from rex_spark.pipeline import build_pages_df_distributed, run_pipeline
+
+spark = get_session(master=f"local[{cpus}]", app_name="rex_spark_ab")
+spark.range(1000).selectExpr("sum(id)").collect()
+
+def run_once(n):
+    spark.catalog.clearCache()
+    parts = 2 * spark.sparkContext.defaultParallelism
+    pages = build_pages_df_distributed(
+        spark, n, seed=42, partitions=parts
+    ).cache()
+    pages.count()
+    t0 = time.perf_counter()
+    result = run_pipeline(
+        spark, pages, store=None, salt_partitions=8,
+        include_sentence_text=False,
+    )
+    result["triple_set"].count()
+    result["entities"].write.format("noop").mode("overwrite").save()
+    result["edges"].write.format("noop").mode("overwrite").save()
+    elapsed = time.perf_counter() - t0
+    pages.unpersist()
+    return elapsed
+
+run_once(max(500, n_pages // 20))   # JVM/Arrow/py-worker warm-up
+run_once(n_pages)                   # untimed full-size run (C2 JIT)
+times = [run_once(n_pages) for _ in range(runs)]
+print("ABRESULT " + json.dumps(times))
+"""
+
+
+def bench_ab(
+    ref: str,
+    n_pages: int | None = None,
+    rounds: int | None = None,
+    runs_per: int | None = None,
+) -> dict:
+    """ABAB-interleaved KG-pipeline comparison of HEAD vs ``ref``.
+
+    Each leg is a fresh subprocess (own SparkSession, own PYTHONPATH
+    pointing at either this repo or a detached worktree of ``ref``),
+    and legs alternate HEAD, ref, HEAD, ref ... in time — ambient host
+    load drifts on the scale of minutes, so interleaving exposes both
+    sides to the same conditions, and pooled MINIMUMS (load only adds
+    time) give the load-robust code-vs-code signal that single-session
+    medians recorded hours apart cannot (BENCH_r03 vs _r04's phantom
+    1.45x).  Returns medians, pooled minimums and their ratios
+    (ratio < 1 means HEAD is faster).
+    """
+    import statistics
+    import subprocess
+    import tempfile
+
+    n_pages = N_PAGES if n_pages is None else n_pages
+    rounds = AB_ROUNDS if rounds is None else rounds
+    runs_per = AB_RUNS_PER if runs_per is None else runs_per
+    repo = os.path.dirname(os.path.abspath(__file__))
+
+    sha = subprocess.run(
+        ["git", "-C", repo, "rev-parse", "--short", ref],
+        capture_output=True, text=True,
+    )
+    if sha.returncode != 0:
+        return {"ref": ref, "error": f"unresolvable ref: {sha.stderr.strip()}"}
+    sha = sha.stdout.strip()
+
+    def run_leg(leg_repo: str) -> list[float]:
+        with tempfile.NamedTemporaryFile(
+            "w", suffix="_ab_runner.py", delete=False
+        ) as f:
+            f.write(_AB_RUNNER)
+            runner = f.name
+        env = dict(os.environ)
+        env["PYTHONPATH"] = leg_repo  # worker imports resolve to this leg
+        try:
+            proc = subprocess.run(
+                [sys.executable, runner, leg_repo, str(n_pages),
+                 str(runs_per), str(CPUS)],
+                capture_output=True, text=True, env=env, timeout=1800,
+            )
+        finally:
+            os.unlink(runner)
+        for line in (proc.stdout or "").replace("\r", "\n").splitlines():
+            if line.startswith("ABRESULT "):
+                return json.loads(line[len("ABRESULT "):])
+        raise RuntimeError(
+            f"AB leg produced no result (rc={proc.returncode}): "
+            + (proc.stderr or "")[-2000:]
+        )
+
+    wt = tempfile.mkdtemp(prefix=f"rex_ab_{sha}_")
+    os.rmdir(wt)  # git worktree add wants to create it
+    add = subprocess.run(
+        ["git", "-C", repo, "worktree", "add", "--detach", wt, sha],
+        capture_output=True, text=True,
+    )
+    if add.returncode != 0:
+        return {"ref": sha, "error": f"worktree add failed: {add.stderr.strip()}"}
+    try:
+        head_times: list[float] = []
+        ref_times: list[float] = []
+        for _ in range(rounds):
+            head_times += run_leg(repo)
+            ref_times += run_leg(wt)
+    finally:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "remove", "--force", wt],
+            capture_output=True, text=True,
+        )
+    h_med, r_med = statistics.median(head_times), statistics.median(ref_times)
+    h_min, r_min = min(head_times), min(ref_times)
+    return {
+        "metric": "kg_pipeline_ab_head_vs_ref",
+        "ref": sha,
+        "pattern": "AB" * rounds,
+        "n_pages": n_pages,
+        "runs_per_leg": runs_per,
+        "head_runs_sec": [round(t, 3) for t in head_times],
+        "ref_runs_sec": [round(t, 3) for t in ref_times],
+        "head_median": round(h_med, 3),
+        "ref_median": round(r_med, 3),
+        "head_min": round(h_min, 3),
+        "ref_min": round(r_min, 3),
+        "median_ratio": round(h_med / r_med, 3),
+        "min_ratio": round(h_min / r_min, 3),
     }
 
 
@@ -271,8 +445,23 @@ def main() -> None:
         out = bench_scale(
             SCALE_PAGES, update_baseline="--update-baseline" in sys.argv
         )
+    elif "--ab" in sys.argv:
+        ref = sys.argv[sys.argv.index("--ab") + 1]
+        out = bench_ab(ref)
     else:
         out = bench_once()
+        # round-over-round signal: interleaved HEAD-vs-previous-round AB
+        # (load-robust, unlike raw totals from different sessions).
+        # Opt out with SPARK_GRAFT_AB=0; a failure must not sink the
+        # whole bench artifact.
+        if os.environ.get("SPARK_GRAFT_AB", "1") != "0":
+            from rex_spark.session import stop_session
+
+            stop_session()  # one JVM at a time: AB legs get the machine
+            try:
+                out["ab"] = bench_ab(AB_DEFAULT_REF)
+            except Exception as exc:  # noqa: BLE001
+                out["ab"] = {"ref": AB_DEFAULT_REF, "error": str(exc)}
     print(json.dumps(out))
 
 

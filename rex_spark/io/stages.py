@@ -7,13 +7,45 @@ north-star lineage requirement: every committed stage appends one
 lineage row PER OUTPUT PARTITION recording url range, warc_ts
 watermark, row count, and model version.
 
-Format: parquet directories with an atomic ``_STAGE_COMMITTED`` marker
-(written only after both data and lineage land).  On Iceberg
-deployments the same interface maps to ``writeTo(tbl).using("iceberg")``
-snapshots + a lineage table; the sandbox has no Iceberg jars, so the
-parquet layout stands in while keeping the exact resume semantics:
-a stage interrupted mid-write leaves no marker and is recomputed; a
-committed stage is never recomputed unless ``force``.
+The storage layer is pluggable (VERDICT r4 #3).  Two backends share
+one small write/commit/compact interface:
+
+``parquet`` (default, always available)
+    Parquet directories with an atomic ``_STAGE_COMMITTED`` marker,
+    written only after both data and lineage land — a stage
+    interrupted mid-write leaves no marker and is recomputed; a
+    committed stage is never recomputed unless ``force``.
+    ``compact`` rewrites a stage into few key-clustered files via a
+    verified sibling-directory swap.
+
+``iceberg`` (activates when the Iceberg runtime jar + catalog are on
+the session; ``iceberg_available`` probes for it)
+    The same contract in native Iceberg semantics — the mapping the
+    parquet layout stands in for:
+
+    ========================  =====================================
+    parquet backend           Iceberg backend
+    ========================  =====================================
+    data directory            ``writeTo(tbl).using("iceberg")``
+                              ``createOrReplace()`` (atomic snapshot)
+    ``_STAGE_COMMITTED``      ``rex.committed=true`` table property,
+    marker (last write)       set by a final metadata-only snapshot
+                              (``ALTER TABLE ... SET TBLPROPERTIES``)
+    marker removal (resume    property unset / absent — data may
+    test's simulated crash)   exist, stage still recomputes
+    directory swap compact    ``CALL <cat>.system.rewrite_data_files``
+    lineage/_metrics dirs     side tables in the same namespace
+    ========================  =====================================
+
+    ``createOrReplace`` clears table properties, so a crash anywhere
+    before the final ALTER leaves ``rex.committed`` unset — exactly
+    the marker protocol's failure semantics, with Iceberg additionally
+    keeping the previous committed snapshot readable during a
+    ``force`` rewrite (the parquet backend deletes first).
+
+Both backends are pinned by the SAME parametrized resume tests
+(tests/test_resume.py); the iceberg leg skips when the jar is absent
+(this sandbox) and runs unchanged when it is present.
 """
 
 from __future__ import annotations
@@ -21,7 +53,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,28 +64,199 @@ from ..kernels.kb import MODEL_VERSION
 _MARKER = "_STAGE_COMMITTED"
 
 
-@dataclass
-class StageStore:
-    spark: SparkSession
-    root: str
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the session classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class ParquetStageBackend:
+    """Directory-per-stage parquet layout with a commit-marker file."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
 
     def _dir(self, name: str) -> str:
         return os.path.join(self.root, name)
 
-    def _lineage_dir(self, name: str) -> str:
-        return os.path.join(self.root, "_lineage", name)
+    def _side_dir(self, kind: str, name: str) -> str:
+        return os.path.join(self.root, f"_{kind}", name)
 
     def is_committed(self, name: str) -> bool:
         return os.path.exists(os.path.join(self._dir(name), _MARKER))
 
+    def decommit(self, name: str) -> None:
+        marker = os.path.join(self._dir(name), _MARKER)
+        if os.path.exists(marker):
+            os.remove(marker)
+
+    def clear(self, name: str) -> None:
+        path = self._dir(name)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+
+    def write(self, name: str, df: DataFrame, partition_by) -> None:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._dir(name))
+
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._dir(name))
 
-    def lineage(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self._lineage_dir(name))
+    def commit(self, name: str, meta: dict) -> None:
+        with open(
+            os.path.join(self._dir(name), _MARKER), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(meta, fh)
 
-    def _metrics_dir(self, name: str) -> str:
-        return os.path.join(self.root, "_metrics", name)
+    def write_side(self, kind: str, name: str, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(self._side_dir(kind, name))
+
+    def read_side(self, kind: str, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._side_dir(kind, name))
+
+    def compact(self, name: str, partitions: int, keys: list[str]) -> int:
+        """Rewrite the stage into ``partitions`` key-clustered files —
+        verified sibling-directory swap (same recoverable protocol as
+        streaming.incremental.compact_neardup_state), marker preserved."""
+        path = self._dir(name)
+        df = self.spark.read.parquet(path)
+        n_rows = df.count()
+        tmp = path + ".compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        clustered = (
+            df.repartition(partitions, *keys).sortWithinPartitions(*keys)
+            if keys
+            else df.repartition(partitions)
+        )
+        clustered.write.mode("overwrite").parquet(tmp)
+        if self.spark.read.parquet(tmp).count() != n_rows:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(f"compaction row-count mismatch for {name}")
+        committed = self.is_committed(name)
+        old = path + ".pre-compact"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        if committed:
+            marker_src = os.path.join(old, _MARKER)
+            if os.path.exists(marker_src):
+                shutil.copy(marker_src, os.path.join(path, _MARKER))
+        shutil.rmtree(old)
+        return n_rows
+
+
+class IcebergStageBackend:
+    """Iceberg tables in ``<catalog>.<namespace>``; commit = the
+    ``rex.committed`` table property (see module docstring mapping)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        # root is a SQL namespace, e.g. "my_catalog.rex_stages"
+        self.spark = spark
+        self.ns = root
+        self.catalog = root.split(".", 1)[0]
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.ns}")
+
+    def _tbl(self, name: str) -> str:
+        return f"{self.ns}.`{name}`"
+
+    def _exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self._tbl(name))
+
+    def is_committed(self, name: str) -> bool:
+        if not self._exists(name):
+            return False
+        props = {
+            r["key"]: r["value"]
+            for r in self.spark.sql(
+                f"SHOW TBLPROPERTIES {self._tbl(name)}"
+            ).collect()
+        }
+        return props.get("rex.committed") == "true"
+
+    def decommit(self, name: str) -> None:
+        if self._exists(name):
+            self.spark.sql(
+                f"ALTER TABLE {self._tbl(name)} "
+                "SET TBLPROPERTIES ('rex.committed'='false')"
+            )
+
+    def clear(self, name: str) -> None:
+        # createOrReplace swaps atomically; nothing to pre-delete (the
+        # previous committed snapshot stays readable until the swap)
+        pass
+
+    def write(self, name: str, df: DataFrame, partition_by) -> None:
+        writer = df.writeTo(self._tbl(name)).using("iceberg")
+        if partition_by:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        # atomic snapshot; clears properties -> stage lands UNcommitted
+        writer.createOrReplace()
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.table(self._tbl(name))
+
+    def commit(self, name: str, meta: dict) -> None:
+        props = ", ".join(
+            [f"'rex.{k}'='{v}'" for k, v in sorted(meta.items())]
+            + ["'rex.committed'='true'"]
+        )
+        self.spark.sql(
+            f"ALTER TABLE {self._tbl(name)} SET TBLPROPERTIES ({props})"
+        )
+
+    def write_side(self, kind: str, name: str, df: DataFrame) -> None:
+        df.writeTo(f"{self.ns}.`_{kind}_{name}`").using(
+            "iceberg"
+        ).createOrReplace()
+
+    def read_side(self, kind: str, name: str) -> DataFrame:
+        return self.spark.table(f"{self.ns}.`_{kind}_{name}`")
+
+    def compact(self, name: str, partitions: int, keys: list[str]) -> int:
+        sort_arg = (
+            f", sort_order => '{', '.join(keys)}'" if keys else ""
+        )
+        self.spark.sql(
+            f"CALL {self.catalog}.system.rewrite_data_files("
+            f"table => '{self.ns.split('.', 1)[1]}.{name}'{sort_arg})"
+        )
+        return self.read(name).count()
+
+
+_BACKENDS = {"parquet": ParquetStageBackend, "iceberg": IcebergStageBackend}
+
+
+@dataclass
+class StageStore:
+    spark: SparkSession
+    root: str
+    backend: str = "parquet"
+    _impl: object = field(init=False, repr=False, default=None)
+
+    def __post_init__(self):
+        if self.backend == "iceberg" and not iceberg_available(self.spark):
+            raise RuntimeError(
+                "iceberg backend requested but the Iceberg Spark runtime "
+                "jar is not on this session's classpath"
+            )
+        self._impl = _BACKENDS[self.backend](self.spark, self.root)
+
+    def is_committed(self, name: str) -> bool:
+        return self._impl.is_committed(name)
+
+    def read(self, name: str) -> DataFrame:
+        return self._impl.read(name)
+
+    def lineage(self, name: str) -> DataFrame:
+        return self._impl.read_side("lineage", name)
 
     def write_metrics(self, name: str, values: dict) -> None:
         """Land per-stage scalar metrics (e.g. Observation results:
@@ -64,12 +267,31 @@ class StageStore:
             (name, k, int(v) if v is not None else 0, MODEL_VERSION)
             for k, v in sorted(values.items())
         ]
-        self.spark.createDataFrame(
-            rows, "stage string, metric string, value long, model_version string"
-        ).coalesce(1).write.mode("overwrite").parquet(self._metrics_dir(name))
+        self._impl.write_side(
+            "metrics",
+            name,
+            self.spark.createDataFrame(
+                rows,
+                "stage string, metric string, value long, model_version string",
+            ).coalesce(1),
+        )
 
     def metrics(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self._metrics_dir(name))
+        return self._impl.read_side("metrics", name)
+
+    def decommit(self, name: str) -> None:
+        """Invalidate a stage without touching its data (test /
+        reprocessing hook): the next ``run`` recomputes it."""
+        self._impl.decommit(name)
+
+    def compact(self, name: str, partitions: int | None = None,
+                keys: list[str] | None = None) -> int:
+        """Rewrite a committed stage into few, key-clustered files —
+        Iceberg ``rewrite_data_files`` (native procedure on that
+        backend; verified directory swap on parquet).  Returns the
+        row count, which both backends verify is preserved."""
+        n = partitions or self.spark.sparkContext.defaultParallelism
+        return self._impl.compact(name, n, keys or [])
 
     def run(
         self,
@@ -82,26 +304,21 @@ class StageStore:
 
         Committed stage -> read back (lazy, no recompute).  Otherwise:
         compute, write data, derive + write per-partition lineage,
-        then commit the marker (atomic rename-free protocol: marker is
-        the last write, so a crash anywhere earlier leaves an
-        uncommitted, recomputable stage).
+        then commit (parquet: marker file is the last write; iceberg:
+        a final metadata-only property snapshot) — a crash anywhere
+        earlier leaves an uncommitted, recomputable stage.
         """
-        path = self._dir(name)
         if self.is_committed(name) and not force:
             return self.read(name)
-        if os.path.exists(path):
-            shutil.rmtree(path)
+        self._impl.clear(name)
 
         df = compute()
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
-
-        written = self.spark.read.parquet(path)
+        self._impl.write(name, df, partition_by)
+        written = self._impl.read(name)
         self._write_lineage(name, written)
-        with open(os.path.join(path, _MARKER), "w", encoding="utf-8") as fh:
-            json.dump({"stage": name, "model_version": MODEL_VERSION}, fh)
+        self._impl.commit(
+            name, {"stage": name, "model_version": MODEL_VERSION}
+        )
         return self.read(name)
 
     def _write_lineage(self, name: str, df: DataFrame) -> None:
@@ -125,4 +342,4 @@ class StageStore:
             .withColumn("stage", F.lit(name))
             .withColumn("model_version", F.lit(MODEL_VERSION))
         )
-        lineage.write.mode("overwrite").parquet(self._lineage_dir(name))
+        self._impl.write_side("lineage", name, lineage)
