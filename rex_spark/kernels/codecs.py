@@ -1,16 +1,19 @@
-"""Pure-stdlib media codecs: PCM WAV, BMP and PNG encode/decode.
+"""Pure-stdlib media codecs: PCM WAV, BMP, PNG and baseline JPEG.
 
-The sandbox ships no image/audio libraries, but these three container
-formats are decodable with ``struct`` + ``zlib`` alone — which is what
+The sandbox ships no image/audio libraries, but these formats are
+decodable with ``struct`` + ``zlib`` + numpy alone — which is what
 a training-data pipeline needs to compute REAL pixel/sample statistics
 instead of hash-derived stand-ins (the remaining
 ``decode_asset`` NotImplementedError is reserved for genuinely
-compressed codecs such as video/mp4).
+compressed VIDEO codecs such as mp4).
 
-Everything is integer arithmetic on uint8/int16/int32 arrays — exact
+WAV/BMP/PNG are integer arithmetic on uint8/int16/int32 arrays — exact
 and deterministic, so the oracle can verify the encode -> distributed
 decode round-trip against the SOURCE arrays without ever invoking the
 decoders (the strongest gold: a decoder bug cannot cancel itself out).
+JPEG is lossy in general, but the fixture construction documented at
+the JPEG section keeps the same source-array-gold property for the
+oracle corpus.
 
 No reference analog: Spico197/REx is text-only; multimodal columns are
 first-class here per the builder's brief.
@@ -285,6 +288,530 @@ def encode_png(pixels: np.ndarray, filter_mode: str = "cycle") -> bytes:
         + _chunk(b"IDAT", idat)
         + _chunk(b"IEND", b"")
     )
+
+
+# --------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, 8-bit, huffman)
+# --------------------------------------------------------------------------
+#
+# Pure stdlib+numpy baseline JPEG: huffman entropy coding, dequant,
+# 8x8 IDCT, YCbCr->RGB.  The encoder writes 4:4:4 with self-declared
+# FLAT huffman tables (every DC symbol 4 bits, every AC symbol 9 bits
+# — JPEG permits arbitrary DHT tables, the decoder always builds from
+# the file's own DHT, and flat tables avoid re-typing the spec's
+# Annex-K code lists; compression ratio is not this codec's job).
+# The decoder handles any DHT, sampling factors up to 2x2 (4:2:0 via
+# pixel-replication upsample), restart intervals, and raises
+# ValueError for progressive/12-bit/arithmetic/CMYK streams.
+#
+# Exactness contract used by the oracle fixture
+# (operators/multimodal.py jpeg slot): for images whose every 8x8
+# block is a uniform value v with (v - 128) even, quality=50 encoding
+# round-trips EXACTLY — all AC coefficients are exactly 0 and the DC
+# quantizer (q00 = 16 -> round(8d/16)*16/8 = d for even d) is
+# lossless, including through YCbCr when R=G=B — so source-array gold
+# certifies the full huffman/DCT path without running the decoder.
+
+# standard Annex-K base quantization tables (row-major), scaled by the
+# libjpeg quality convention in _jpeg_qtables
+_JPEG_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_JPEG_Q_CHROMA = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99]
+    + [99] * 32,
+    dtype=np.int64,
+)
+
+
+def _zigzag_order() -> list[int]:
+    """Row-major indices in zigzag scan order (computed, not typed:
+    anti-diagonal s = r + c, odd diagonals walk r increasing)."""
+    order = []
+    for s in range(15):
+        rs = list(range(max(0, s - 7), min(s, 7) + 1))
+        if s % 2 == 0:
+            rs.reverse()
+        order.extend(r * 8 + (s - r) for r in rs)
+    return order
+
+
+_ZIGZAG = np.array(_zigzag_order(), dtype=np.int64)
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# orthonormal 8-point DCT-II basis: block spectra = T @ B @ T.T
+_DCT_T = np.zeros((8, 8))
+for _u in range(8):
+    _c = (1 / np.sqrt(2)) if _u == 0 else 1.0
+    for _x in range(8):
+        _DCT_T[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16)
+del _u, _c, _x
+
+# flat huffman alphabets (see header comment): DC categories 0..11 at
+# 4 bits; all 162 baseline AC symbols (EOB, ZRL, (run,size)) at 9 bits
+_DC_SYMS = list(range(12))
+_AC_SYMS = sorted(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_DC_CODE = {sym: (i, 4) for i, sym in enumerate(_DC_SYMS)}
+_AC_CODE = {sym: (i, 9) for i, sym in enumerate(_AC_SYMS)}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.put(0x7F, 8 - self.nbits)  # pad with 1s then 0s is fine
+        return bytes(self.out)
+
+
+def _jpeg_qtables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (_JPEG_Q_LUMA, _JPEG_Q_CHROMA):
+        q = (base * scale + 50) // 100
+        out.append(np.clip(q, 1, 255))
+    return out[0], out[1]
+
+
+def _dht_segment(tc: int, th: int, syms: list[int], length: int) -> bytes:
+    bits = [0] * 16
+    bits[length - 1] = len(syms)
+    body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(syms)
+    return struct.pack(">HH", 0xFFC4, len(body) + 2) + body
+
+
+def _cat_bits(v: int) -> tuple[int, int]:
+    """(category, value-bits) for a DC diff / AC coefficient."""
+    size = int(abs(v)).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_blocks(bw: _BitWriter, coeffs: np.ndarray, pred: int) -> int:
+    """Huffman-encode one component block's 64 zigzag coefficients."""
+    dc = int(coeffs[0])
+    size, bits = _cat_bits(dc - pred)
+    code, ln = _DC_CODE[size]
+    bw.put(code, ln)
+    if size:
+        bw.put(bits, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(coeffs[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = _AC_CODE[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        size, bits = _cat_bits(v)
+        code, ln = _AC_CODE[(run << 4) | size]
+        bw.put(code, ln)
+        bw.put(bits, size)
+        run = 0
+    if run:
+        code, ln = _AC_CODE[0x00]  # EOB
+        bw.put(code, ln)
+    return dc
+
+
+def _component_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(H, W) uint8 plane -> (n_blocks, 64) quantized zigzag coeffs,
+    blocks in raster order, plane edge-padded to multiples of 8."""
+    h, w = plane.shape
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    spectra = np.einsum("ux,nxy,vy->nuv", _DCT_T, blocks, _DCT_T)
+    quant = np.round(spectra.reshape(-1, 64) / qtab.astype(np.float64))
+    return quant.astype(np.int64)[:, _ZIGZAG]
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 50, subsampling: str = "444"
+) -> bytes:
+    """Encode uint8 pixels — (H, W) gray or (H, W, 3) RGB — to a
+    baseline sequential JPEG (8-bit, self-declared flat huffman
+    tables).  ``subsampling``: '444' (default) or '420' (2x2 luma
+    sampling, chroma box-averaged at half resolution — exercises the
+    decoder's MCU interleave + upsample path).  Lossy in general; see
+    the exactness contract above."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        planes = [arr]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        r = arr[:, :, 0].astype(np.float64)
+        g = arr[:, :, 1].astype(np.float64)
+        b = arr[:, :, 2].astype(np.float64)
+        y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+        cr = np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+        planes = [
+            np.clip(p, 0, 255).astype(np.uint8) for p in (y, cb, cr)
+        ]
+    else:
+        raise ValueError("encode_jpeg wants (H,W) gray or (H,W,3) RGB")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    h, w = arr.shape[:2]
+    ql, qc = _jpeg_qtables(quality)
+    ncomp = len(planes)
+    if ncomp == 3 and subsampling == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1)] * ncomp
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT (two tables, zigzag order on the wire)
+    for tq, tab in ((0, ql), (1, qc))[: 1 if ncomp == 1 else 2]:
+        body = bytes([tq]) + bytes(int(v) for v in tab[_ZIGZAG])
+        out += struct.pack(">HH", 0xFFDB, len(body) + 2) + body
+    # SOF0
+    comp_spec = b""
+    for ci in range(ncomp):
+        tq = 0 if ci == 0 else 1
+        hv = (samp[ci][0] << 4) | samp[ci][1]
+        comp_spec += bytes([ci + 1, hv, tq])
+    body = struct.pack(">BHHB", 8, h, w, ncomp) + comp_spec
+    out += struct.pack(">HH", 0xFFC0, len(body) + 2) + body
+    # DHT: flat tables, one DC + one AC class used by every component
+    out += _dht_segment(0, 0, _DC_SYMS, 4)
+    out += _dht_segment(1, 0, _AC_SYMS, 9)
+    # SOS
+    body = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        body += bytes([cid, 0x00])  # DC table 0, AC table 0
+    body += bytes([0, 63, 0])
+    out += struct.pack(">HH", 0xFFDA, len(body) + 2) + body
+
+    per_comp, grids = [], []
+    for ci, p in enumerate(planes):
+        hi, vi = samp[ci]
+        # pad to the full MCU grid at luma resolution, then box-average
+        # down to this component's sampling
+        ph, pw = mcus_y * 8 * vmax, mcus_x * 8 * hmax
+        padded = np.pad(
+            p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+        )
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:
+            padded = np.round(
+                padded.astype(np.float64)
+                .reshape(ph // fy, fy, pw // fx, fx)
+                .mean(axis=(1, 3))
+            ).astype(np.uint8)
+        per_comp.append(
+            _component_blocks(padded, ql if ci == 0 else qc)
+        )
+        grids.append((mcus_y * vi, mcus_x * hi))
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for m in range(mcus_x * mcus_y):
+        my, mx = divmod(m, mcus_x)
+        for ci in range(ncomp):
+            hi, vi = samp[ci]
+            gw = grids[ci][1]
+            for v in range(vi):
+                for hh in range(hi):
+                    bi = (my * vi + v) * gw + (mx * hi + hh)
+                    preds[ci] = _encode_blocks(
+                        bw, per_comp[ci][bi], preds[ci]
+                    )
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with byte-unstuffing; raises
+    ValueError on truncation (the corrupt-payload contract)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None  # set when a non-RST marker ends the scan
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy data")
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy data")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                raise ValueError("unexpected marker inside entropy data")
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def get(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def restart(self) -> None:
+        """Consume an RSTn marker at a byte boundary."""
+        self.acc, self.nbits = 0, 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("missing JPEG restart marker")
+        self.pos += 2
+
+
+def _build_huffman(bits: list[int], vals: list[int]) -> dict:
+    """DHT spec -> {(length, code): symbol} canonical table."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.get(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential 8-bit JPEG -> uint8 array of shape
+    (H, W) gray or (H, W, 3) RGB.  Handles arbitrary DHT tables,
+    sampling factors up to 2x2 (chroma upsampled by pixel
+    replication), and restart intervals; raises ValueError for
+    progressive / arithmetic / 12-bit / CMYK streams and any
+    truncation or malformed structure."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos, end = 2, len(payload)
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= end:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        seg_start, seg_end = pos + 4, pos + 2 + seg_len
+        if seg_end > end:
+            raise ValueError("truncated JPEG segment")
+        body = payload[seg_start:seg_end]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                if i + 65 > len(body):
+                    raise ValueError("truncated DQT")
+                tab = np.frombuffer(
+                    body[i + 1 : i + 65], dtype=np.uint8
+                ).astype(np.int64)
+                qtables[tq] = tab[_UNZIGZAG]  # store row-major
+                i += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline huffman
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported precision {prec}")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = struct.unpack_from("BBB", body, 6 + 3 * c)
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise ValueError(f"unsupported sampling {hi}x{vi}")
+                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+            sof = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nsyms = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nsyms])
+                if len(vals) < nsyms:
+                    raise ValueError("truncated DHT")
+                htables[(tc, th)] = _build_huffman(bits, vals)
+                i += 17 + nsyms
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
+            scan = (scan_comps, seg_end)
+            break
+        pos = seg_end
+    if sof is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+    h, w, comps = sof
+    if h == 0 or w == 0:
+        raise ValueError("bad JPEG dimensions")
+    scan_comps, data_pos = scan
+    if len(scan_comps) != len(comps):
+        raise ValueError("partial (non-interleaved) scans unsupported")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]  # block grid width
+        c["bh"] = mcus_y * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+        cid_tabs = {sc[0]: (sc[1], sc[2]) for sc in scan_comps}
+        c["td"], c["ta"] = cid_tabs[c["id"]]
+
+    br = _BitReader(payload, data_pos)
+    preds = {c["id"]: 0 for c in comps}
+    n_mcus = mcus_x * mcus_y
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            br.restart()
+            preds = {c["id"]: 0 for c in comps}
+        my, mx = divmod(m, mcus_x)
+        for c in comps:
+            dc_tab = htables.get((0, c["td"]))
+            ac_tab = htables.get((1, c["ta"]))
+            if dc_tab is None or ac_tab is None:
+                raise ValueError("missing huffman table")
+            for v in range(c["v"]):
+                for hh in range(c["h"]):
+                    block = np.zeros(64, dtype=np.int64)
+                    size = _read_symbol(br, dc_tab)
+                    if size > 11:
+                        raise ValueError("bad DC category")
+                    diff = _extend(br.get(size), size) if size else 0
+                    preds[c["id"]] += diff
+                    block[0] = preds[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = _read_symbol(br, ac_tab)
+                        if rs == 0x00:  # EOB
+                            break
+                        run, sz = rs >> 4, rs & 0x0F
+                        if sz == 0:
+                            if run != 15:
+                                raise ValueError("bad AC symbol")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k >= 64:
+                            raise ValueError("AC run past block end")
+                        block[k] = _extend(br.get(sz), sz)
+                        k += 1
+                    bi = (my * c["v"] + v) * c["bw"] + (mx * c["h"] + hh)
+                    c["coef"][bi] = block
+
+    planes = []
+    for c in comps:
+        qtab = qtables.get(c["tq"])
+        if qtab is None:
+            raise ValueError("missing quant table")
+        spectra = (c["coef"][:, _UNZIGZAG] * qtab).reshape(-1, 8, 8)
+        blocks = np.einsum(
+            "xu,nuv,yv->nxy", _DCT_T.T, spectra.astype(np.float64), _DCT_T.T
+        )
+        blocks = np.clip(np.round(blocks + 128.0), 0, 255).astype(np.uint8)
+        plane = (
+            blocks.reshape(c["bh"], c["bw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+        # replication-upsample to the full-resolution grid, then crop
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return planes[0]
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def decode_png(payload: bytes) -> np.ndarray:

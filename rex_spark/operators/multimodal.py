@@ -3,12 +3,13 @@
 Images/audio/video are ``binary`` columns with a metadata struct.  The
 Spark-side machinery (schemas, partition-friendly batch shapes, Arrow
 UDF signatures, feature tables) is real and tested, and — since r4 —
-so is the decode for the stdlib-decodable container formats:
-``decode_asset`` parses PCM WAV, BMP and PNG payloads into
-sample/pixel arrays (kernels/codecs.py, pure struct+zlib) and
+so is the decode for the stdlib-decodable formats:
+``decode_asset`` parses PCM WAV, BMP, PNG and (since r5) baseline
+JPEG payloads into sample/pixel arrays (kernels/codecs.py, pure
+struct+zlib+numpy) and
 ``decode_stats``/``extract_features`` compute real integer-exact
 statistics from them.  NotImplementedError remains only for genuinely
-compressed codecs (video/mp4, jpeg, ...) where a deployment build
+compressed VIDEO codecs (mp4, ...) where a deployment build
 swaps in Pillow/torchaudio/pyav — for those mimes
 ``extract_features`` falls back to the deterministic hash-derived
 feature stand-in (the model-feature slot), exercising the same
@@ -114,18 +115,26 @@ def _value_stream(tag: str, n: int) -> np.ndarray:
 def _asset_source(i: int, seed: int):
     """(kind, mime, source_array, meta) for decodable asset i.
 
-    Slots cycle png / bmp / wav / mp4; the mp4 slot carries opaque
-    seeded bytes (decode_asset raises NotImplementedError for it,
-    pinning the unsupported-mime contract).  meta = (width, height,
-    duration_ms, sample_rate, channels).
+    Slots cycle png / bmp / jpeg / wav / mp4; the mp4 slot carries
+    opaque seeded bytes (decode_asset raises NotImplementedError for
+    it, pinning the unsupported-mime contract).  meta = (width,
+    height, duration_ms, sample_rate, channels).
+
+    The JPEG slot is constructed to round-trip EXACTLY through the
+    lossy codec (kernels/codecs.py exactness contract): dimensions are
+    multiples of 8 and every 8x8 block is a uniform value with an even
+    offset from 128 (all AC coefficients exactly 0; the quality-50 DC
+    quantizer divides 8*offset evenly), and RGB variants use R=G=B so
+    the YCbCr conversion is the identity on the luma path — so the
+    source-array gold stays valid for a lossy format.
     """
-    slot = i % 4
+    slot = i % 5
     tag = f"asset:{seed}:{i}"
     if slot in (0, 1):  # png / bmp image
         w = 16 + (i * 7) % 81
         h = 16 + (i * 11) % 81
         if slot == 0:
-            nch = (1, 3, 4)[(i // 4) % 3]
+            nch = (1, 3, 4)[(i // 5) % 3]
             shape = (h, w) if nch == 1 else (h, w, nch)
             mime = "image/png"
         else:
@@ -133,9 +142,25 @@ def _asset_source(i: int, seed: int):
         vals = _value_stream(tag, h * w * nch)
         pixels = (vals % np.uint64(256)).astype(np.uint8).reshape(shape)
         return "image", mime, pixels, (w, h, None, None, nch)
-    if slot == 2:  # PCM wav
+    if slot == 2:  # baseline JPEG (exact-roundtrip block-uniform image)
+        bw = 2 + (i * 3) % 10  # 8x8 blocks per row: 2..11 -> 16..88 px
+        bh = 2 + (i * 7) % 10
+        w, h = bw * 8, bh * 8
+        nch = 1 if (i // 5) % 2 == 0 else 3
+        vals = _value_stream(tag, bw * bh)
+        block_vals = (
+            128 + 2 * ((vals % np.uint64(121)).astype(np.int64) - 60)
+        ).astype(np.uint8)  # even offsets, range [8, 248]
+        plane = np.repeat(
+            np.repeat(block_vals.reshape(bh, bw), 8, axis=0), 8, axis=1
+        )
+        pixels = plane if nch == 1 else np.repeat(
+            plane[:, :, None], 3, axis=2
+        )
+        return "image", "image/jpeg", pixels, (w, h, None, None, nch)
+    if slot == 3:  # PCM wav
         rate = 8000
-        channels = 1 + (i // 4) % 2
+        channels = 1 + (i // 5) % 2
         dur_ms = 400 + i % 1200
         n_frames = dur_ms * rate // 1000
         vals = _value_stream(tag, n_frames * channels)
@@ -152,11 +177,11 @@ def _encode_source(kind: str, mime: str, source) -> bytes:
     from ..kernels import codecs
 
     if kind == "image":
-        return (
-            codecs.encode_png(source, filter_mode="cycle")
-            if mime == "image/png"
-            else codecs.encode_bmp(source)
-        )
+        if mime == "image/png":
+            return codecs.encode_png(source, filter_mode="cycle")
+        if mime == "image/jpeg":
+            return codecs.encode_jpeg(source, quality=50)
+        return codecs.encode_bmp(source)
     if kind == "audio":
         return codecs.encode_wav(source, 8000, 16)
     return source  # opaque
@@ -263,6 +288,8 @@ _DECODERS = {
     "audio/x-wav": "audio",
     "image/bmp": "image",
     "image/png": "image",
+    "image/jpeg": "image",
+    "image/jpg": "image",
 }
 
 
@@ -272,7 +299,7 @@ def decode_asset(payload: bytes, mime: str):
     Returns ``("audio", sample_rate, channels, samples[int32 F x C])``
     or ``("image", width, height, channels, pixels[uint8 H x W (x C)])``.
     Raises ValueError on corrupt payloads and NotImplementedError for
-    mimes needing a codec library (video/mp4, jpeg, ...) — the
+    mimes needing a codec library (video/mp4, ...) — the
     deployment build swaps those in (signature is the contract).
     """
     from ..kernels import codecs
@@ -282,11 +309,12 @@ def decode_asset(payload: bytes, mime: str):
         rate, channels, samples = codecs.decode_wav(payload)
         return ("audio", rate, channels, samples)
     if family == "image":
-        pixels = (
-            codecs.decode_png(payload)
-            if mime == "image/png"
-            else codecs.decode_bmp(payload)
-        )
+        if mime == "image/png":
+            pixels = codecs.decode_png(payload)
+        elif mime in ("image/jpeg", "image/jpg"):
+            pixels = codecs.decode_jpeg(payload)
+        else:
+            pixels = codecs.decode_bmp(payload)
         h, w = pixels.shape[:2]
         nch = 1 if pixels.ndim == 2 else pixels.shape[2]
         return ("image", w, h, nch, pixels)

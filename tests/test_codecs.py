@@ -159,6 +159,106 @@ def test_png_bad_crc_raises():
         decode_png(bytes(payload))
 
 
+def _block_uniform(seed, bh, bw, nch=1):
+    """The JPEG exact-roundtrip fixture shape: per-8x8-block uniform
+    values with even offsets from 128 (gray or R=G=B)."""
+    r = _rng(seed)
+    bv = (128 + 2 * (r.integers(0, 121, (bh, bw)) - 60)).astype(np.uint8)
+    plane = np.repeat(np.repeat(bv, 8, 0), 8, 1)
+    return plane if nch == 1 else np.repeat(plane[:, :, None], nch, 2)
+
+
+@pytest.mark.parametrize("nch", [1, 3])
+def test_jpeg_exact_roundtrip_444(nch):
+    img = _block_uniform(nch * 10, 4, 6, nch)
+    from rex_spark.kernels.codecs import decode_jpeg, encode_jpeg
+
+    assert np.array_equal(decode_jpeg(encode_jpeg(img, 50)), img)
+
+
+def test_jpeg_exact_roundtrip_420():
+    """2x2 luma sampling: block-uniform R=G=B images have flat
+    chroma=128 (box-average invariant), so 4:2:0 round-trips exactly
+    too — pinning the decoder's MCU interleave + upsample path."""
+    from rex_spark.kernels.codecs import decode_jpeg, encode_jpeg
+
+    img = _block_uniform(7, 4, 4, 3)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img, 50, subsampling="420")), img
+    )
+
+
+def test_jpeg_lossy_tolerance():
+    """Smooth content at quality 90 must reconstruct within a couple of
+    levels (sanity bound on the DCT/quant/huffman path for non-exact
+    inputs); odd (non-multiple-of-8) dimensions crop correctly."""
+    from rex_spark.kernels.codecs import decode_jpeg, encode_jpeg
+
+    x = np.linspace(0, 255, 61)
+    smooth = np.clip(np.add.outer(x, np.linspace(0, 255, 45)) / 2, 0, 255)
+    smooth = smooth.astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(smooth, 90))
+    assert dec.shape == smooth.shape
+    assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 3
+
+
+def test_jpeg_handcrafted_vector():
+    """Wire format pinned independently of encode_jpeg: a hand-built
+    8x8 gray JPEG (all-1 quant table, one-symbol huffman tables,
+    DC-only block of quantized value 16) must decode to a flat 130
+    (IDCT flat = 16/8 + 128)."""
+    from rex_spark.kernels.codecs import decode_jpeg
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes([1] * 64))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    # DC table 0: single 1-bit code -> category 5; AC table 0: single
+    # 1-bit code -> EOB
+    dht_dc = seg(0xFFC4, bytes([0x00, 1] + [0] * 15 + [5]))
+    dht_ac = seg(0xFFC4, bytes([0x10, 1] + [0] * 15 + [0x00]))
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # entropy bits: DC code '0' + 5 value bits 10000 (=16) + EOB '0',
+    # padded with 1 -> 0b01000001
+    payload = (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+        + bytes([0b01000001]) + b"\xff\xd9"
+    )
+    out = decode_jpeg(payload)
+    assert out.shape == (8, 8)
+    assert np.array_equal(out, np.full((8, 8), 130, dtype=np.uint8))
+
+
+def test_jpeg_corrupt_and_unsupported():
+    from rex_spark.kernels.codecs import decode_jpeg, encode_jpeg
+
+    img = _block_uniform(3, 2, 2)
+    p = encode_jpeg(img, 50)
+    for cut in (10, len(p) // 2, len(p) - 3):
+        with pytest.raises(ValueError):
+            decode_jpeg(p[:cut])
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8garbage bytes here")
+    # progressive SOF2 must be rejected, not mis-decoded
+    prog = bytearray(p)
+    sof_at = prog.find(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(prog))
+    # decode_stats_row contract: corrupt jpeg -> status row, not a raise
+    from rex_spark.operators.multimodal import decode_stats_row
+
+    row = decode_stats_row(p, "image/jpeg")
+    assert row[0] == "ok" and row[4] == img.size
+    flipped = bytearray(p)
+    flipped[len(p) // 2] ^= 0xFF
+    assert decode_stats_row(bytes(flipped), "image/jpeg")[0] in (
+        "ok", "corrupt",  # a mid-entropy flip may still decode; must not raise
+    )
+    assert decode_stats_row(p[:20], "image/jpeg")[0] == "corrupt"
+
+
 def test_truncation_raises_valueerror():
     """ADVICE r5: a truncated WAV data chunk must raise (-> status
     'corrupt'), never silently decode fewer frames as 'ok'; a PNG cut
