@@ -1210,7 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (mapping documented in README.md)."""
     return {
         # --- merged / new this round ---
-        "asset_decode": q_asset_decode,          # real PNG/BMP/WAV decode (r4)
+        "asset_decode": q_asset_decode,          # real PNG/BMP/JPEG/WAV decode
         "kg_extractors": q_kg_extractors,        # was kg_triples/kg_casrel/kg_usm
         "ner_decode": q_ner_decode,              # was ner_decode_sql/_udf + crf_decode
         "ann_topk": q_ann_topk,                  # was cosine_topk/lsh_ann_topk/ivf_topk

@@ -36,6 +36,11 @@ def parse_args(argv):
     p.add_argument("-a", "--set", dest="dotlist", action="append", default=[],
                    help="key=value overrides, highest precedence (REx -a)")
     p.add_argument("--stage-root", help="checkpoint root; omit with --no-store")
+    p.add_argument("--store-backend", choices=["parquet", "iceberg"],
+                   default=None,
+                   help="StageStore backend (default parquet); 'iceberg' "
+                        "treats --stage-root as <catalog>.<namespace> and "
+                        "requires the Iceberg runtime jar on the session")
     p.add_argument("--no-store", action="store_true", help="storeless fused run (no resume)")
     p.add_argument("--salt-partitions", type=int, default=None, help="J7 hub-key salting width")
     p.add_argument("--master", default=None, help="override spark master (default env/local)")
@@ -96,6 +101,7 @@ def main(argv=None) -> None:
         "master": args.master,
         "seed": args.seed,
         "extractor": args.extractor,
+        "store_backend": args.store_backend,
         "min_quality": args.min_quality,
         "max_top_token_frac": args.max_top_token_frac,
         "max_rep_2gram_frac": args.max_rep_2gram_frac,
@@ -126,7 +132,11 @@ def main(argv=None) -> None:
     else:
         pages = build_pages_df_distributed(spark, cfg.synthetic_pages, seed=cfg.seed)
 
-    store = None if args.no_store else StageStore(spark, cfg.stage_root)
+    store = (
+        None
+        if args.no_store
+        else StageStore(spark, cfg.stage_root, backend=cfg.store_backend)
+    )
     if cfg.stage_root:
         dump_config(cfg, cfg.stage_root)  # reference's task-dir config dump
     t0 = time.perf_counter()

@@ -34,6 +34,10 @@ class PipelineConfig:
     shuffle_partitions: int | None = None
     # stages
     stage_root: str | None = None
+    # StageStore backend: "parquet" (directory + commit marker) or
+    # "iceberg" (stage_root is then a <catalog>.<namespace>; needs the
+    # Iceberg runtime jar — io/stages.py mapping table)
+    store_backend: str = "parquet"
     salt_partitions: int = 8
     include_sentence_text: bool = True
     # triple extraction mechanism for the M1 slot: "fused" pair scorer
