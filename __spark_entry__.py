@@ -962,25 +962,27 @@ def q_asset_stats(spark, sf):
 
 def q_asset_frames(spark, sf):
     """Frame-sampling fan-out over timed assets (fixed-size frame rows;
-    payload fingerprinted so the driver hash sees bytes stably)."""
-    from rex_spark.operators.multimodal import make_assets, sample_frames
+    payload fingerprinted so the driver hash sees bytes stably).  Runs
+    over the DECODABLE fixture, so the green row certifies the
+    SAMPLE-EXACT WAV seek and the FRAME-EXACT MJPEG-AVI container seek
+    (wav_data_span / avi_frame_spans header parsing inside the Arrow
+    batch), plus the byte-window stand-in on the opaque mp4 slot."""
+    from rex_spark.operators.multimodal import make_decodable_assets, sample_frames
 
-    # 500ms sampling: the synthetic durations (1001-1119ms) then yield 3
-    # frames per timed asset, exercising the fan-out, 1 per image
-    return sample_frames(make_assets(spark, 120), every_ms=500).select(
+    return sample_frames(make_decodable_assets(spark, 120), every_ms=500).select(
         "asset_id", "frame_idx", "t_ms", F.md5("frame").alias("frame_md5")
     )
 
 
 def q_asset_decode(spark, sf):
-    """REAL multimodal decode: the fixture's image/audio payloads are
-    genuine PNG/BMP/PCM-WAV bytes (kernels/codecs.py, stdlib-only);
-    decode_stats parses them inside the Arrow batch and emits
-    integer-exact pixel/sample statistics.  Gold is computed from the
-    SOURCE arrays (pre-encode), so a green row certifies the
-    encode -> distributed-decode round-trip.  mp4 rows stay
-    'unsupported' (the NotImplementedError contract for codecs that
-    need a library)."""
+    """REAL multimodal decode: the fixture's image/audio/video payloads
+    are genuine PNG/BMP/JPEG/GIF/PCM-WAV/MJPEG-AVI bytes
+    (kernels/codecs.py, stdlib-only); decode_stats parses them inside
+    the Arrow batch and emits integer-exact pixel/sample/frame
+    statistics.  Gold is computed from the SOURCE arrays (pre-encode),
+    so a green row certifies the encode -> distributed-decode
+    round-trip.  mp4 rows stay 'unsupported' (the NotImplementedError
+    contract for inter-frame codecs that need a library)."""
     from rex_spark.operators.multimodal import decode_stats, make_decodable_assets
 
     return decode_stats(make_decodable_assets(spark, 120))
@@ -1210,7 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (mapping documented in README.md)."""
     return {
         # --- merged / new this round ---
-        "asset_decode": q_asset_decode,          # real PNG/BMP/JPEG/WAV decode
+        "asset_decode": q_asset_decode,          # real PNG/BMP/JPEG/GIF/WAV/AVI decode
         "kg_extractors": q_kg_extractors,        # was kg_triples/kg_casrel/kg_usm
         "ner_decode": q_ner_decode,              # was ner_decode_sql/_udf + crf_decode
         "ann_topk": q_ann_topk,                  # was cosine_topk/lsh_ann_topk/ivf_topk

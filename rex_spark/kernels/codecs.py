@@ -1,13 +1,14 @@
-"""Pure-stdlib media codecs: PCM WAV, BMP, PNG and baseline JPEG.
+"""Pure-stdlib media codecs: PCM WAV, BMP, PNG, baseline JPEG, GIF
+(LZW) and MJPEG-AVI video.
 
 The sandbox ships no image/audio libraries, but these formats are
 decodable with ``struct`` + ``zlib`` + numpy alone — which is what
 a training-data pipeline needs to compute REAL pixel/sample statistics
 instead of hash-derived stand-ins (the remaining
-``decode_asset`` NotImplementedError is reserved for genuinely
-compressed VIDEO codecs such as mp4).
+``decode_asset`` NotImplementedError is reserved for inter-frame
+compressed video codecs such as mp4).
 
-WAV/BMP/PNG are integer arithmetic on uint8/int16/int32 arrays — exact
+WAV/BMP/PNG/GIF are integer arithmetic on uint8/int16/int32 arrays — exact
 and deterministic, so the oracle can verify the encode -> distributed
 decode round-trip against the SOURCE arrays without ever invoking the
 decoders (the strongest gold: a decoder bug cannot cancel itself out).
@@ -886,3 +887,362 @@ def decode_png(payload: bytes) -> np.ndarray:
         prev = recon
     img = out.reshape(h, w, nch)
     return img[:, :, 0] if nch == 1 else img
+
+
+# --------------------------------------------------------------------------
+# GIF (87a/89a, LZW) — palette images, lossless, so the source-array
+# gold contract holds with no fixture tricks.  Encoder builds the
+# palette from the image's unique colors (<=256 or ValueError) and
+# compresses with real variable-width GIF-LZW; decoder handles global
+# and local color tables, interlace, extension blocks, and the 4096-
+# entry table cap, returning (H, W, 3) RGB via palette lookup.
+# --------------------------------------------------------------------------
+
+
+def _gif_palette(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(palette[N,3] uint8, indices[H,W] intp) for gray or RGB input."""
+    if arr.ndim == 2:
+        rgb = np.repeat(arr[:, :, None], 3, axis=2)
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        rgb = arr
+    else:
+        raise ValueError("encode_gif wants (H,W) gray or (H,W,3) RGB")
+    packed = (
+        rgb[:, :, 0].astype(np.int64) << 16
+    ) | (rgb[:, :, 1].astype(np.int64) << 8) | rgb[:, :, 2].astype(np.int64)
+    uniq, inv = np.unique(packed, return_inverse=True)
+    if len(uniq) > 256:
+        raise ValueError(f"GIF palette overflow: {len(uniq)} unique colors")
+    palette = np.stack(
+        [(uniq >> 16) & 0xFF, (uniq >> 8) & 0xFF, uniq & 0xFF], axis=1
+    ).astype(np.uint8)
+    return palette, inv.reshape(arr.shape[:2])
+
+
+class _LSBBitWriter:
+    """GIF packs LZW codes least-significant-bit first."""
+
+    def __init__(self):
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def put(self, code: int, length: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += length
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
+    """GIF-variant LZW: variable code width min_code+1..12, CLEAR-reset
+    when the table fills at 4096 entries."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    bw = _LSBBitWriter()
+
+    def reset():
+        return {(c,): c for c in range(clear)}, eoi + 1, min_code + 1
+
+    table, next_code, size = reset()
+    bw.put(clear, size)
+    buf: tuple = ()
+    for px in indices.ravel().tolist():
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        bw.put(table[buf], size)
+        if next_code == 4096:
+            bw.put(clear, size)
+            table, next_code, size = reset()
+        else:
+            table[cand] = next_code
+            next_code += 1
+            # the decoder widens when ITS next_code (one behind ours at
+            # read time) reaches 1<<size — mirror that exactly
+            if next_code == (1 << size) + 1 and size < 12:
+                size += 1
+        buf = (px,)
+    if buf:
+        bw.put(table[buf], size)
+    bw.put(eoi, size)
+    return bw.flush()
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """Encode uint8 pixels — (H,W) gray or (H,W,3) RGB with <=256
+    unique colors — as a non-interlaced GIF89a with a global palette."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    palette, indices = _gif_palette(arr)
+    h, w = indices.shape
+    # palette on the wire is padded to a power of two (>= 2)
+    pbits = max(1, int(len(palette) - 1).bit_length())
+    ptable = np.zeros((1 << pbits, 3), dtype=np.uint8)
+    ptable[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((pbits - 1) << 4) | (pbits - 1), 0, 0])
+    out += ptable.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    min_code = max(2, pbits)
+    out.append(min_code)
+    data = _lzw_encode(indices, min_code)
+    for off in range(0, len(data), 255):
+        block = data[off : off + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table = {c: (c,) for c in range(clear)}
+    next_code, size = eoi + 1, min_code + 1
+    out = np.empty(n_pixels, dtype=np.int32)
+    filled = 0
+    acc = nbits = pos = 0
+    prev: tuple | None = None
+    while True:
+        while nbits < size:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << size) - 1)
+        acc >>= size
+        nbits -= size
+        if code == clear:
+            table = {c: (c,) for c in range(clear)}
+            next_code, size, prev = eoi + 1, min_code + 1, None
+            continue
+        if code == eoi:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        if filled + len(entry) > n_pixels:
+            raise ValueError("GIF LZW output overruns image")
+        out[filled : filled + len(entry)] = entry
+        filled += len(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << size) and size < 12:
+                size += 1
+        prev = entry
+    if filled != n_pixels:
+        raise ValueError("truncated GIF image data")
+    return out
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode the first image of a GIF87a/89a to (H, W, 3) uint8 RGB."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    _sw, _sh = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated GIF palette")
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF (no image block)")
+        tag = payload[pos]
+        pos += 1
+        if tag == 0x3B:
+            raise ValueError("GIF has no image data")
+        if tag == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension")
+                n = payload[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+            continue
+        if tag != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{tag:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        _left, _top, w, h = struct.unpack_from("<HHHH", payload, pos)
+        ipacked = payload[pos + 8]
+        pos += 9
+        palette = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("truncated GIF local palette")
+            palette = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF image has no color table")
+        chunks = bytearray()
+        if pos >= len(payload):
+            raise ValueError("truncated GIF image data")
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"bad GIF LZW min code size {min_code}")
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF data sub-blocks")
+            n = payload[pos]
+            pos += 1
+            if n == 0:
+                break
+            if pos + n > len(payload):
+                raise ValueError("truncated GIF data sub-block")
+            chunks += payload[pos : pos + n]
+            pos += n
+        idx = _lzw_decode(bytes(chunks), min_code, w * h)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("GIF index outside palette")
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            order = np.concatenate(
+                [np.arange(start, h, step) for start, step in _GIF_INTERLACE]
+            )
+            rows = np.empty(h, dtype=np.int64)
+            rows[order] = np.arange(h)
+            idx = idx.reshape(h, w)[rows].ravel()
+        return palette[idx].reshape(h, w, 3)
+
+
+# --------------------------------------------------------------------------
+# AVI / MJPEG (RIFF container, one 'vids' stream of baseline JPEG
+# frames) — the pure-stdlib VIDEO codepath.  Each frame is an
+# independent baseline JPEG, so the JPEG exactness contract above
+# carries over per frame and the source-array gold stays valid.
+# ``avi_frame_spans`` exposes (offset, size) per frame WITHOUT
+# decoding, so a frame sampler can seek frame-exactly in a payload of
+# any length — the 100 TB shape (never materialize all frames to
+# sample one).
+# --------------------------------------------------------------------------
+
+
+def encode_avi_mjpeg(frames, fps: int = 5, quality: int = 50) -> bytes:
+    """Encode a list/array of same-shape uint8 frames — (H,W) gray or
+    (H,W,3) RGB — as an MJPEG AVI ('MJPG' fourcc, one video stream)."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("encode_avi_mjpeg wants at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("AVI frames must share one shape")
+    jpegs = [encode_jpeg(f, quality=quality) for f in frames]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    usec = 1_000_000 // fps
+    avih = struct.pack(
+        "<14I", usec, max(len(j) for j in jpegs) * fps, 0, 0x10,
+        len(jpegs), 0, 1, max(len(j) for j in jpegs), w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                      len(jpegs), max(len(j) for j in jpegs), 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(b"00dc", j) for j in jpegs)
+    movi = lst(b"movi", movi_body)
+    # idx1: (fourcc, keyframe flag, offset from 'movi' tag, size)
+    entries, off = [], 4
+    for j in jpegs:
+        entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(j)))
+        off += 8 + len(j) + (len(j) % 2)
+    idx1 = chunk(b"idx1", b"".join(entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_chunks(payload: bytes, pos: int, end: int):
+    """Yield (tag, body_start, body_size) scanning a RIFF chunk run."""
+    while pos + 8 <= end:
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + size > end:
+            raise ValueError("truncated AVI chunk")
+        yield tag, pos + 8, size
+        pos += 8 + size + (size % 2)
+
+
+def avi_frame_spans(payload: bytes):
+    """Parse only the container: (w, h, usec_per_frame,
+    [(offset, size), ...]) for the video frames — no JPEG decode."""
+    if (
+        len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        raise ValueError("not an AVI")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    end = min(8 + riff_size, len(payload))
+    if 8 + riff_size > len(payload):
+        raise ValueError("truncated AVI payload")
+    w = h = usec = None
+    spans = []
+    for tag, start, size in _riff_chunks(payload, 12, end):
+        if tag != b"LIST":
+            continue
+        kind = payload[start : start + 4]
+        if kind == b"hdrl":
+            for t2, s2, n2 in _riff_chunks(payload, start + 4, start + size):
+                if t2 == b"avih":
+                    if n2 < 40:
+                        raise ValueError("short avih header")
+                    usec = struct.unpack_from("<I", payload, s2)[0]
+                    w, h = struct.unpack_from("<II", payload, s2 + 32)
+        elif kind == b"movi":
+            for t2, s2, n2 in _riff_chunks(payload, start + 4, start + size):
+                if t2[2:4] in (b"dc", b"db"):
+                    spans.append((s2, n2))
+    if w is None or usec is None or usec == 0:
+        raise ValueError("AVI missing avih header")
+    if not spans:
+        raise ValueError("AVI has no video frames")
+    return int(w), int(h), int(usec), spans
+
+
+def decode_avi(payload: bytes):
+    """Decode an MJPEG AVI: (width, height, fps, frames[F,H,W(,3)])."""
+    w, h, usec, spans = avi_frame_spans(payload)
+    decoded = [
+        decode_jpeg(payload[off : off + size]) for off, size in spans
+    ]
+    frames = np.stack(decoded)
+    if frames.shape[1] != h or frames.shape[2] != w:
+        raise ValueError("AVI frame dimensions disagree with header")
+    return int(w), int(h), 1_000_000 // usec, frames

@@ -5,12 +5,12 @@ Spark-side machinery (schemas, partition-friendly batch shapes, Arrow
 UDF signatures, feature tables) is real and tested, and — since r4 —
 so is the decode for the stdlib-decodable formats:
 ``decode_asset`` parses PCM WAV, BMP, PNG and (since r5) baseline
-JPEG payloads into sample/pixel arrays (kernels/codecs.py, pure
-struct+zlib+numpy) and
+JPEG, GIF and MJPEG-AVI video payloads into sample/pixel/frame arrays
+(kernels/codecs.py, pure struct+zlib+numpy) and
 ``decode_stats``/``extract_features`` compute real integer-exact
-statistics from them.  NotImplementedError remains only for genuinely
-compressed VIDEO codecs (mp4, ...) where a deployment build
-swaps in Pillow/torchaudio/pyav — for those mimes
+statistics from them.  NotImplementedError remains only for
+inter-frame-compressed video codecs (mp4, ...) where a deployment
+build swaps in Pillow/torchaudio/pyav — for those mimes
 ``extract_features`` falls back to the deterministic hash-derived
 feature stand-in (the model-feature slot), exercising the same
 distributed path.
@@ -115,26 +115,39 @@ def _value_stream(tag: str, n: int) -> np.ndarray:
 def _asset_source(i: int, seed: int):
     """(kind, mime, source_array, meta) for decodable asset i.
 
-    Slots cycle png / bmp / jpeg / wav / mp4; the mp4 slot carries
-    opaque seeded bytes (decode_asset raises NotImplementedError for
-    it, pinning the unsupported-mime contract).  meta = (width,
-    height, duration_ms, sample_rate, channels).
+    Slots cycle png / bmp / jpeg / gif / wav / mjpeg-avi / mp4; the mp4
+    slot carries opaque seeded bytes (decode_asset raises
+    NotImplementedError for it, pinning the unsupported-mime contract).
+    meta = (width, height, duration_ms, sample_rate_or_fps, channels).
 
-    The JPEG slot is constructed to round-trip EXACTLY through the
-    lossy codec (kernels/codecs.py exactness contract): dimensions are
-    multiples of 8 and every 8x8 block is a uniform value with an even
-    offset from 128 (all AC coefficients exactly 0; the quality-50 DC
-    quantizer divides 8*offset evenly), and RGB variants use R=G=B so
-    the YCbCr conversion is the identity on the luma path — so the
-    source-array gold stays valid for a lossy format.
+    The JPEG slot (and every MJPEG-AVI frame) is constructed to
+    round-trip EXACTLY through the lossy codec (kernels/codecs.py
+    exactness contract): dimensions are multiples of 8 and every 8x8
+    block is a uniform value with an even offset from 128 (all AC
+    coefficients exactly 0; the quality-50 DC quantizer divides
+    8*offset evenly), and RGB variants use R=G=B so the YCbCr
+    conversion is the identity on the luma path — so the source-array
+    gold stays valid for a lossy format.  PNG/BMP/GIF/WAV are lossless;
+    no tricks needed.
     """
-    slot = i % 5
+    slot = i % 7
     tag = f"asset:{seed}:{i}"
+
+    def jpeg_plane(key: str, bw: int, bh: int, nch: int) -> np.ndarray:
+        vals = _value_stream(key, bw * bh)
+        block_vals = (
+            128 + 2 * ((vals % np.uint64(121)).astype(np.int64) - 60)
+        ).astype(np.uint8)  # even offsets, range [8, 248]
+        plane = np.repeat(
+            np.repeat(block_vals.reshape(bh, bw), 8, axis=0), 8, axis=1
+        )
+        return plane if nch == 1 else np.repeat(plane[:, :, None], 3, axis=2)
+
     if slot in (0, 1):  # png / bmp image
         w = 16 + (i * 7) % 81
         h = 16 + (i * 11) % 81
         if slot == 0:
-            nch = (1, 3, 4)[(i // 5) % 3]
+            nch = (1, 3, 4)[(i // 7) % 3]
             shape = (h, w) if nch == 1 else (h, w, nch)
             mime = "image/png"
         else:
@@ -145,22 +158,23 @@ def _asset_source(i: int, seed: int):
     if slot == 2:  # baseline JPEG (exact-roundtrip block-uniform image)
         bw = 2 + (i * 3) % 10  # 8x8 blocks per row: 2..11 -> 16..88 px
         bh = 2 + (i * 7) % 10
-        w, h = bw * 8, bh * 8
-        nch = 1 if (i // 5) % 2 == 0 else 3
-        vals = _value_stream(tag, bw * bh)
-        block_vals = (
-            128 + 2 * ((vals % np.uint64(121)).astype(np.int64) - 60)
-        ).astype(np.uint8)  # even offsets, range [8, 248]
-        plane = np.repeat(
-            np.repeat(block_vals.reshape(bh, bw), 8, axis=0), 8, axis=1
-        )
-        pixels = plane if nch == 1 else np.repeat(
-            plane[:, :, None], 3, axis=2
-        )
-        return "image", "image/jpeg", pixels, (w, h, None, None, nch)
-    if slot == 3:  # PCM wav
+        nch = 1 if (i // 7) % 2 == 0 else 3
+        pixels = jpeg_plane(tag, bw, bh, nch)
+        return "image", "image/jpeg", pixels, (bw * 8, bh * 8, None, None, nch)
+    if slot == 3:  # GIF: palette image (lossless LZW)
+        w = 12 + (i * 5) % 60
+        h = 12 + (i * 9) % 60
+        n_colors = 2 + (i * 13) % 63
+        pal = (
+            _value_stream(f"{tag}:pal", n_colors * 3) % np.uint64(256)
+        ).astype(np.uint8).reshape(n_colors, 3)
+        idx = (
+            _value_stream(f"{tag}:idx", h * w) % np.uint64(n_colors)
+        ).astype(np.int64).reshape(h, w)
+        return "image", "image/gif", pal[idx], (w, h, None, None, 3)
+    if slot == 4:  # PCM wav
         rate = 8000
-        channels = 1 + (i // 5) % 2
+        channels = 1 + (i // 7) % 2
         dur_ms = 400 + i % 1200
         n_frames = dur_ms * rate // 1000
         vals = _value_stream(tag, n_frames * channels)
@@ -168,6 +182,17 @@ def _asset_source(i: int, seed: int):
             (vals % np.uint64(65536)).astype(np.int64) - 32768
         ).astype(np.int16).reshape(n_frames, channels)
         return "audio", "audio/wav", samples, (None, None, dur_ms, rate, channels)
+    if slot == 5:  # MJPEG AVI: exact-roundtrip JPEG frames, fps=5
+        fps = 5
+        n_frames = 3 + i % 5
+        bw = 2 + (i * 3) % 6
+        bh = 2 + (i * 7) % 6
+        nch = 1 if (i // 7) % 2 == 0 else 3
+        frames = np.stack(
+            [jpeg_plane(f"{tag}:f{k}", bw, bh, nch) for k in range(n_frames)]
+        )
+        dur_ms = n_frames * 1000 // fps
+        return "video", "video/x-msvideo", frames, (bw * 8, bh * 8, dur_ms, fps, nch)
     vals = _value_stream(tag, 8 + i % 8)  # opaque mp4 slot
     payload = b"\x00\x00\x00\x18ftypmp42" + vals.astype("<u8").tobytes()
     return "video", "video/mp4", payload, (None, None, 2000 + i % 3000, None, None)
@@ -181,9 +206,13 @@ def _encode_source(kind: str, mime: str, source) -> bytes:
             return codecs.encode_png(source, filter_mode="cycle")
         if mime == "image/jpeg":
             return codecs.encode_jpeg(source, quality=50)
+        if mime == "image/gif":
+            return codecs.encode_gif(source)
         return codecs.encode_bmp(source)
     if kind == "audio":
         return codecs.encode_wav(source, 8000, 16)
+    if mime == "video/x-msvideo":
+        return codecs.encode_avi_mjpeg(list(source), fps=5, quality=50)
     return source  # opaque
 
 
@@ -290,14 +319,18 @@ _DECODERS = {
     "image/png": "image",
     "image/jpeg": "image",
     "image/jpg": "image",
+    "image/gif": "image",
+    "video/x-msvideo": "video",
+    "video/avi": "video",
 }
 
 
 def decode_asset(payload: bytes, mime: str):
     """REAL decode for the stdlib-decodable mimes.
 
-    Returns ``("audio", sample_rate, channels, samples[int32 F x C])``
-    or ``("image", width, height, channels, pixels[uint8 H x W (x C)])``.
+    Returns ``("audio", sample_rate, channels, samples[int32 F x C])``,
+    ``("image", width, height, channels, pixels[uint8 H x W (x C)])``
+    or ``("video", width, height, channels, frames[uint8 F x H x W (x C)])``.
     Raises ValueError on corrupt payloads and NotImplementedError for
     mimes needing a codec library (video/mp4, ...) — the
     deployment build swaps those in (signature is the contract).
@@ -313,11 +346,17 @@ def decode_asset(payload: bytes, mime: str):
             pixels = codecs.decode_png(payload)
         elif mime in ("image/jpeg", "image/jpg"):
             pixels = codecs.decode_jpeg(payload)
+        elif mime == "image/gif":
+            pixels = codecs.decode_gif(payload)
         else:
             pixels = codecs.decode_bmp(payload)
         h, w = pixels.shape[:2]
         nch = 1 if pixels.ndim == 2 else pixels.shape[2]
         return ("image", w, h, nch, pixels)
+    if family == "video":
+        w, h, _fps, frames = codecs.decode_avi(payload)
+        nch = 1 if frames.ndim == 3 else frames.shape[3]
+        return ("video", w, h, nch, frames)
     raise NotImplementedError(
         f"no stdlib codec for mime={mime}; "
         "swap in Pillow/torchaudio/pyav at deployment"
@@ -400,17 +439,24 @@ def _frame_kernel(payload: bytes, duration_ms: int, every_ms: int,
     """Deterministic frame sampler.  For PCM WAV payloads the window is
     SAMPLE-EXACT: the frame at t_ms starts at the PCM byte of sample
     floor(t*rate/1000) (header-seek via wav_data_span, never
-    materializing the sample array).  For other payloads it is the
-    byte-window stand-in (stride proportional to t's position) that a
-    real build replaces with the codec (pyav keyframe seek); the
-    (asset, t_ms) -> fixed-size frame row contract is what the
-    pipeline depends on."""
+    materializing the sample array).  For MJPEG-AVI payloads it is
+    FRAME-EXACT: the container index seeks to the '00dc' chunk of
+    frame floor(t/usec_per_frame) and the window is that frame's
+    leading JPEG bytes — no frame is ever decoded or materialized.
+    For other payloads it is the byte-window stand-in (stride
+    proportional to t's position) that a real build replaces with the
+    codec (pyav keyframe seek); the (asset, t_ms) -> fixed-size frame
+    row contract is what the pipeline depends on."""
     n = len(payload)
-    span = None
+    span = avi = None
     if mime in ("audio/wav", "audio/x-wav"):
         from ..kernels.codecs import wav_data_span
 
         span = wav_data_span(payload)
+    elif mime in ("video/x-msvideo", "video/avi"):
+        from ..kernels.codecs import avi_frame_spans
+
+        avi = avi_frame_spans(payload)
     out = []
     for idx, t in enumerate(range(0, max(duration_ms, 1), every_ms)):
         if span is not None:
@@ -422,6 +468,11 @@ def _frame_kernel(payload: bytes, duration_ms: int, every_ms: int,
             # span must zero-pad, not leak the next chunk's (LIST/INFO)
             # bytes in as "samples" — the SAMPLE-EXACT contract
             chunk = payload[off : min(off + FRAME_BYTES, data_off + data_len)]
+        elif avi is not None:
+            _w, _h, usec, spans = avi
+            fi = min(t * 1000 // usec, len(spans) - 1)
+            off, size = spans[fi]
+            chunk = payload[off : off + min(FRAME_BYTES, size)]
         else:
             off = (t * max(n - FRAME_BYTES, 1)) // max(duration_ms, 1)
             chunk = payload[off : off + FRAME_BYTES]

@@ -541,7 +541,7 @@ def ensure_codec_gold(n: int = 120, seed: int = 42) -> Dict[str, str]:
             kind, mime, source, (w, h, _dur, rate, nch) = _asset_source(i, seed)
             cols["asset_id"].append(i)
             cols["mime"].append(mime)
-            if kind == "video":
+            if mime == "video/mp4":  # the one genuinely unsupported codec
                 cols["status"].append("unsupported")
                 for name in ("channels", "dim_a", "dim_b", "n_values",
                              "sum_val", "min_val", "max_val"):
@@ -550,8 +550,8 @@ def ensure_codec_gold(n: int = 120, seed: int = 42) -> Dict[str, str]:
             vals = np.asarray(source).astype(np.int64).ravel()
             cols["status"].append("ok")
             cols["channels"].append(nch)
-            cols["dim_a"].append(w if kind == "image" else rate)
-            cols["dim_b"].append(h if kind == "image" else source.shape[0])
+            cols["dim_a"].append(rate if kind == "audio" else w)
+            cols["dim_b"].append(source.shape[0] if kind == "audio" else h)
             cols["n_values"].append(int(vals.size))
             cols["sum_val"].append(int(vals.sum()))
             cols["min_val"].append(int(vals.min()))
@@ -640,10 +640,19 @@ def ensure_asset_gold(n: int = 120, seed: int = 42) -> Dict[str, str]:
                 ),
             },
         )
+        # frames gold rides the DECODABLE fixture: the scalar kernel is
+        # shared verbatim with the distributed path, but the gold run
+        # re-encodes from source and re-parses the WAV/AVI headers, so
+        # a green row certifies the sample-/frame-exact seek paths end
+        # to end through Arrow batching
+        from .operators.multimodal import _asset_source, _encode_source
+
         fr_aid, fr_idx, fr_t, fr_md5 = [], [], [], []
-        for i, kind, payload, _w, dur in rows:
+        for i in range(n):
+            kind, mime, source, (_w, _h, dur, _r, _c) = _asset_source(i, seed)
+            payload = _encode_source(kind, mime, source)
             dur_ms = 1 if dur is None else dur
-            for idx, t, frame in _frame_kernel(payload, dur_ms, 500):
+            for idx, t, frame in _frame_kernel(payload, dur_ms, 500, mime):
                 fr_aid.append(i)
                 fr_idx.append(idx)
                 fr_t.append(t)
