@@ -988,6 +988,18 @@ def q_asset_decode(spark, sf):
     return decode_stats(make_decodable_assets(spark, 120))
 
 
+def q_video_frames(spark, sf):
+    """Per-FRAME video decode fan-out (frame_stats): MJPEG-AVI assets
+    explode into one row per decoded frame with integer-exact stats
+    plus a pixel-bytes md5 — the exact-frame-dedup key (the fixture
+    PLANTS cross-asset duplicate first frames, so md5 collisions are
+    real data, not vacuity).  mp4 rows stay flagged 'unsupported'.
+    Gold from SOURCE frame arrays, decoder never invoked."""
+    from rex_spark.operators.multimodal import frame_stats, make_decodable_assets
+
+    return frame_stats(make_decodable_assets(spark, 120))
+
+
 # ---------------------------------------------------------------------------
 # Consolidated (variant-tagged) query surfaces.
 #
@@ -1207,12 +1219,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order and records at most ~50 rows, so the newest / merged queries
     come first and the long-stable relational queries (green in every
     prior round AND pinned by the local pytest oracle gate) come last.
-    44 entries — every one of r3's 65 fine-grained queries survives as
+    45 entries — every one of r3's 65 fine-grained queries survives as
     a tagged variant or joined column block inside exactly one entry
-    (mapping documented in README.md)."""
+    (mapping documented in README.md); video_frames is new in r5."""
     return {
         # --- merged / new this round ---
         "asset_decode": q_asset_decode,          # real PNG/BMP/JPEG/GIF/WAV/AVI decode
+        "video_frames": q_video_frames,          # per-frame decode + dedup key
         "kg_extractors": q_kg_extractors,        # was kg_triples/kg_casrel/kg_usm
         "ner_decode": q_ner_decode,              # was ner_decode_sql/_udf + crf_decode
         "ann_topk": q_ann_topk,                  # was cosine_topk/lsh_ann_topk/ivf_topk
@@ -2156,6 +2169,11 @@ def _materialized_gold_oracles() -> dict[str, str]:
                    n_values, sum_val, min_val, max_val
             FROM read_parquet('{codec["asset_decode"]}')
         """,
+        "video_frames": f"""
+            SELECT asset_id, frame_idx, status, n_values, sum_val,
+                   min_val, max_val, pixel_md5
+            FROM read_parquet('{codec["video_frames"]}')
+        """,
         "asset_stats": f"""
             SELECT kind, count(*) AS n_assets,
                    CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
@@ -2294,7 +2312,8 @@ def oracle_sql() -> dict[str, str]:
     }
     passthrough = [
         "kg_entities", "kg_edges", "kg_usm_ents", "emb_lookup",
-        "triple_facets", "pii_scrub", "asset_decode", "asset_features",
+        "triple_facets", "pii_scrub", "asset_decode", "video_frames",
+        "asset_features",
         "asset_stats", "asset_frames", "mrc_overlap", "exact_dedup",
         "span_matrix",
         "mrc_union", "multi_hot", "confusion", "agg_pricing",

@@ -188,8 +188,13 @@ def _asset_source(i: int, seed: int):
         bw = 2 + (i * 3) % 6
         bh = 2 + (i * 7) % 6
         nch = 1 if (i // 7) % 2 == 0 else 3
+        # frame 0 is keyed by SHAPE, not asset: same-shape videos share
+        # their first frame — planted cross-asset duplicate frames, so
+        # frame-level dedup (frame_stats pixel_md5) is non-vacuous
         frames = np.stack(
-            [jpeg_plane(f"{tag}:f{k}", bw, bh, nch) for k in range(n_frames)]
+            [jpeg_plane(f"asset:{seed}:avi:{bw}x{bh}x{nch}:f0", bw, bh, nch)]
+            + [jpeg_plane(f"{tag}:f{k}", bw, bh, nch)
+               for k in range(1, n_frames)]
         )
         dur_ms = n_frames * 1000 // fps
         return "video", "video/x-msvideo", frames, (bw * 8, bh * 8, dur_ms, fps, nch)
@@ -510,6 +515,78 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).astype({"frame_idx": "int32", "t_ms": "int32"} if rows else {})
 
     return src.mapInPandas(frame_batches, schema=FRAMES_SCHEMA)
+
+
+FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),  # -1 on non-ok
+        StructField("status", StringType(), False),
+        StructField("n_values", LongType(), True),
+        StructField("sum_val", LongType(), True),
+        StructField("min_val", LongType(), True),
+        StructField("max_val", LongType(), True),
+        StructField("pixel_md5", StringType(), True),  # frame-dedup key
+    ]
+)
+
+
+def frame_stats_rows(payload: bytes, mime: str):
+    """Scalar kernel: one row per DECODED video frame — integer-exact
+    stats plus an md5 of the raw pixel bytes (the exact-frame-dedup
+    key).  Unsupported/corrupt payloads yield a single flagged row
+    (frame_idx -1), never an exception — the stage-total-failure-free
+    contract decode_stats_row honors."""
+    import hashlib
+
+    try:
+        decoded = decode_asset(payload, mime)
+        if decoded[0] != "video":
+            raise NotImplementedError("frame_stats wants a video mime")
+    except NotImplementedError:
+        return [(-1, "unsupported", None, None, None, None, None)]
+    except (ValueError, zlib.error, struct.error):
+        return [(-1, "corrupt", None, None, None, None, None)]
+    _, _w, _h, _nch, frames = decoded
+    out = []
+    for k in range(frames.shape[0]):
+        frame = frames[k]
+        vals = frame.astype(np.int64).ravel()
+        out.append((
+            k, "ok", int(vals.size), int(vals.sum()),
+            int(vals.min()), int(vals.max()),
+            hashlib.md5(frame.tobytes()).hexdigest(),
+        ))
+    return out
+
+
+def frame_stats(assets: DataFrame) -> DataFrame:
+    """Video assets -> one row per decoded frame (stats + pixel md5).
+
+    The frame-level twin of decode_stats: fan-out happens inside the
+    Arrow batch (payload bytes never join a shuffle; only the 8 stat
+    columns leave the scan stage), and `groupBy(pixel_md5)` on the
+    result is exact cross-video frame dedup — the video analog of the
+    documents exact_dedup path.  Non-video assets are pruned BEFORE
+    the Python stage (JVM-side filter on mime)."""
+    src = assets.filter(F.col("mime").startswith("video/")).select(
+        "asset_id", "mime", "payload"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (aid, *rest)
+                for aid, mime, payload in zip(
+                    pdf["asset_id"], pdf["mime"], pdf["payload"]
+                )
+                for rest in frame_stats_rows(bytes(payload), mime)
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_STATS_SCHEMA.fields]
+            ).astype({"frame_idx": "int32"} if rows else {})
+
+    return src.mapInPandas(batches, schema=FRAME_STATS_SCHEMA)
 
 
 def asset_stats(assets: DataFrame) -> DataFrame:

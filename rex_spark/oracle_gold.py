@@ -525,10 +525,15 @@ def ensure_codec_gold(n: int = 120, seed: int = 42) -> Dict[str, str]:
     encode -> distributed Arrow decode round-trip (a decoder bug cannot
     cancel out; encoder+decoder complementary bugs are excluded by the
     crafted-vector unit tests in tests/test_codecs.py)."""
-    paths = {"asset_decode": os.path.join(GOLD_DIR, "asset_decode.parquet")}
+    paths = {
+        "asset_decode": os.path.join(GOLD_DIR, "asset_decode.parquet"),
+        "video_frames": os.path.join(GOLD_DIR, "video_frames.parquet"),
+    }
     with _lock:
         if "codec" in _done:
             return paths
+        import hashlib
+
         import numpy as np
         import pyarrow as pa
 
@@ -556,6 +561,49 @@ def ensure_codec_gold(n: int = 120, seed: int = 42) -> Dict[str, str]:
             cols["sum_val"].append(int(vals.sum()))
             cols["min_val"].append(int(vals.min()))
             cols["max_val"].append(int(vals.max()))
+        # per-frame gold for the video fan-out (frame_stats): stats +
+        # pixel md5 from the SOURCE frame arrays (never the decoder)
+        vf = {name: [] for name in (
+            "asset_id", "frame_idx", "status", "n_values", "sum_val",
+            "min_val", "max_val", "pixel_md5")}
+        for i in range(n):
+            kind, mime, source, _meta = _asset_source(i, seed)
+            if kind != "video":
+                continue
+            if mime == "video/mp4":
+                vf["asset_id"].append(i)
+                vf["frame_idx"].append(-1)
+                vf["status"].append("unsupported")
+                for name in ("n_values", "sum_val", "min_val", "max_val",
+                             "pixel_md5"):
+                    vf[name].append(None)
+                continue
+            for k in range(source.shape[0]):
+                frame = source[k]
+                fvals = frame.astype(np.int64).ravel()
+                vf["asset_id"].append(i)
+                vf["frame_idx"].append(k)
+                vf["status"].append("ok")
+                vf["n_values"].append(int(fvals.size))
+                vf["sum_val"].append(int(fvals.sum()))
+                vf["min_val"].append(int(fvals.min()))
+                vf["max_val"].append(int(fvals.max()))
+                vf["pixel_md5"].append(
+                    hashlib.md5(frame.tobytes()).hexdigest()
+                )
+        _write(
+            "video_frames.parquet",
+            {
+                "asset_id": (vf["asset_id"], pa.int64()),
+                "frame_idx": (vf["frame_idx"], pa.int32()),
+                "status": (vf["status"], pa.string()),
+                "n_values": (vf["n_values"], pa.int64()),
+                "sum_val": (vf["sum_val"], pa.int64()),
+                "min_val": (vf["min_val"], pa.int64()),
+                "max_val": (vf["max_val"], pa.int64()),
+                "pixel_md5": (vf["pixel_md5"], pa.string()),
+            },
+        )
         _write(
             "asset_decode.parquet",
             {

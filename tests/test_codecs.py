@@ -655,3 +655,42 @@ def test_avi_corrupt_inputs():
     flipped[off] ^= 0xFF  # smash the first frame's JPEG SOI marker
     assert decode_stats_row(bytes(flipped), "video/x-msvideo")[0] == "corrupt"
     assert decode_stats_row(bytes(payload), "video/x-msvideo")[0] == "ok"
+
+
+def test_frame_stats_matches_source_and_plants_dups(spark):
+    """Distributed per-frame decode equals the source arrays, mp4 rows
+    are flagged, and the planted shared first frame produces REAL
+    cross-asset pixel_md5 duplicates (frame dedup is non-vacuous)."""
+    import hashlib
+
+    from rex_spark.operators.multimodal import (
+        _asset_source,
+        frame_stats,
+        make_decodable_assets,
+    )
+
+    # avi shapes repeat with period 12 among the avi slots, so the
+    # first planted shared-shape pair is assets (5, 89) — n=90 covers it
+    n = 90
+    rows = frame_stats(make_decodable_assets(spark, n)).collect()
+    got = {(r["asset_id"], r["frame_idx"]): r for r in rows}
+    want_md5 = {}
+    for i in range(n):
+        kind, mime, source, _meta = _asset_source(i, seed=42)
+        if kind != "video":
+            assert not any(aid == i for aid, _ in got)
+            continue
+        if mime == "video/mp4":
+            assert got[(i, -1)]["status"] == "unsupported"
+            continue
+        for k in range(source.shape[0]):
+            vals = source[k].astype(np.int64).ravel()
+            r = got[(i, k)]
+            assert r["status"] == "ok"
+            assert (r["n_values"], r["sum_val"]) == (vals.size, vals.sum())
+            assert (r["min_val"], r["max_val"]) == (vals.min(), vals.max())
+            md5 = hashlib.md5(source[k].tobytes()).hexdigest()
+            assert r["pixel_md5"] == md5
+            want_md5.setdefault(md5, set()).add(i)
+    # planted dup: at least one first-frame md5 shared by >= 2 assets
+    assert any(len(aids) >= 2 for aids in want_md5.values())
