@@ -222,12 +222,43 @@ def _encode_source(kind: str, mime: str, source) -> bytes:
 
 
 def make_decodable_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Asset table whose image/audio payloads are REAL encoded media."""
+    """Asset table whose image/audio/video payloads are REAL encoded
+    media (driver-side build; fine for the <=120-row oracle corpus)."""
     rows = []
     for i in range(n):
         kind, mime, source, (w, h, dur, _rate, _ch) = _asset_source(i, seed)
         rows.append((i, kind, _encode_source(kind, mime, source), mime, w, h, dur))
     return spark.createDataFrame(rows, schema=ASSETS_SCHEMA)
+
+
+def make_decodable_assets_distributed(
+    spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Same table as make_decodable_assets, synthesized EXECUTOR-side
+    (mapInPandas over a range), bit-identical per asset id because
+    _asset_source/_encode_source are pure functions of (i, seed) — the
+    make_page pattern: corpus synthesis itself parallelizes, so a
+    multi-GB codec benchmark or soak never bottlenecks on the driver."""
+    parts = partitions or 2 * spark.sparkContext.defaultParallelism
+    base = spark.range(0, n, numPartitions=parts)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                kind, mime, source, (w, h, dur, _r, _c) = _asset_source(i, seed)
+                rows.append(
+                    (i, kind, _encode_source(kind, mime, source), mime, w, h, dur)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ASSETS_SCHEMA.fields]
+            ).astype(
+                {"width": "Int32", "height": "Int32", "duration_ms": "Int32"}
+                if rows else {}
+            )
+
+    return base.mapInPandas(build, schema=ASSETS_SCHEMA)
 
 
 DECODE_STATS_SCHEMA = StructType(

@@ -694,3 +694,27 @@ def test_frame_stats_matches_source_and_plants_dups(spark):
             want_md5.setdefault(md5, set()).add(i)
     # planted dup: at least one first-frame md5 shared by >= 2 assets
     assert any(len(aids) >= 2 for aids in want_md5.values())
+
+
+def test_distributed_asset_synthesis_matches_driver(spark):
+    """Executor-side fixture synthesis is bit-identical to the
+    driver-side build (pure function of (i, seed) — the make_page
+    determinism pattern)."""
+    from rex_spark.operators.multimodal import (
+        make_decodable_assets,
+        make_decodable_assets_distributed,
+    )
+
+    a = {r["asset_id"]: r for r in make_decodable_assets(spark, 15).collect()}
+    b = {
+        r["asset_id"]: r
+        for r in make_decodable_assets_distributed(spark, 15, partitions=4).collect()
+    }
+    assert set(a) == set(b) == set(range(15))
+    for i in range(15):
+        ra, rb = a[i], b[i]
+        assert (ra["kind"], ra["mime"]) == (rb["kind"], rb["mime"])
+        assert bytes(ra["payload"]) == bytes(rb["payload"])
+        assert (ra["width"], ra["height"], ra["duration_ms"]) == (
+            rb["width"], rb["height"], rb["duration_ms"]
+        )
