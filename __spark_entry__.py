@@ -989,8 +989,9 @@ def q_asset_decode(spark, sf):
 
 
 def q_video_frames(spark, sf):
-    """Per-FRAME video decode fan-out (frame_stats): MJPEG-AVI assets
-    explode into one row per decoded frame with integer-exact stats
+    """Per-FRAME temporal-media decode fan-out (frame_stats): MJPEG-AVI
+    assets explode into one row per decoded video frame and (animated)
+    GIFs into one row per image rect, each with integer-exact stats
     plus a pixel-bytes md5 — the exact-frame-dedup key (the fixture
     PLANTS cross-asset duplicate first frames, so md5 collisions are
     real data, not vacuity).  mp4 rows stay flagged 'unsupported'.

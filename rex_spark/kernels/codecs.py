@@ -972,6 +972,13 @@ def _lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
         buf = (px,)
     if buf:
         bw.put(table[buf], size)
+        # the decoder adds one more table entry after reading this final
+        # code, so ITS next_code reaches our next_code — if that lands
+        # exactly on 1<<size it widens before reading EOI; mirror that
+        # (safely false right after a clear, where the decoder skips the
+        # add: next_code == clear+2 < 2*clear for every min_code >= 2)
+        if next_code == (1 << size) and size < 12:
+            size += 1
     bw.put(eoi, size)
     return bw.flush()
 
@@ -1050,8 +1057,11 @@ def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif(payload: bytes) -> np.ndarray:
-    """Decode the first image of a GIF87a/89a to (H, W, 3) uint8 RGB."""
+def _gif_images(payload: bytes):
+    """Yield ``(left, top, rgb[h,w,3])`` for every image descriptor in
+    stream order.  Raw frames: no disposal-method compositing and no
+    transparency blending (an animation-aware consumer composites;
+    per-frame stats/dedup want the raw rects anyway)."""
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     _sw, _sh = struct.unpack_from("<HH", payload, 6)
@@ -1064,13 +1074,16 @@ def decode_gif(payload: bytes) -> np.ndarray:
             raise ValueError("truncated GIF palette")
         gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
         pos += 3 * n
+    yielded = 0
     while True:
         if pos >= len(payload):
-            raise ValueError("truncated GIF (no image block)")
+            raise ValueError("truncated GIF (no trailer)")
         tag = payload[pos]
         pos += 1
         if tag == 0x3B:
-            raise ValueError("GIF has no image data")
+            if yielded == 0:
+                raise ValueError("GIF has no image data")
+            return
         if tag == 0x21:  # extension: label + sub-blocks
             pos += 1
             while True:
@@ -1085,7 +1098,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
             raise ValueError(f"unexpected GIF block 0x{tag:02x}")
         if pos + 9 > len(payload):
             raise ValueError("truncated GIF image descriptor")
-        _left, _top, w, h = struct.unpack_from("<HHHH", payload, pos)
+        left, top, w, h = struct.unpack_from("<HHHH", payload, pos)
         ipacked = payload[pos + 8]
         pos += 9
         palette = gct
@@ -1125,7 +1138,56 @@ def decode_gif(payload: bytes) -> np.ndarray:
             rows = np.empty(h, dtype=np.int64)
             rows[order] = np.arange(h)
             idx = idx.reshape(h, w)[rows].ravel()
-        return palette[idx].reshape(h, w, 3)
+        yield left, top, palette[idx].reshape(h, w, 3)
+        yielded += 1
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode the FIRST image of a GIF87a/89a to (H, W, 3) uint8 RGB."""
+    for _left, _top, rgb in _gif_images(payload):
+        return rgb
+    raise ValueError("GIF has no image data")
+
+
+def decode_gif_frames(payload: bytes):
+    """Decode every frame of an (animated) GIF: list of
+    ``(left, top, rgb[h,w,3])`` raw rects in stream order — the shape a
+    per-frame stats/dedup pass consumes.  Frames may be sub-rects of
+    the logical screen; see _gif_images for the no-compositing note."""
+    return list(_gif_images(payload))
+
+
+def encode_gif_animation(frames) -> bytes:
+    """Concatenate full-screen frames — each (H,W) gray or (H,W,3) RGB
+    with <=256 unique colors — into a multi-image GIF89a (one local
+    palette per frame; no GCE timing blocks, which decoders skip)."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("encode_gif_animation wants at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("GIF animation frames must share one size")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x00, 0, 0])  # no global color table
+    for frame in frames:
+        palette, indices = _gif_palette(frame)
+        pbits = max(1, int(len(palette) - 1).bit_length())
+        ptable = np.zeros((1 << pbits, 3), dtype=np.uint8)
+        ptable[: len(palette)] = palette
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x80 | (pbits - 1)])  # local color table flag+size
+        out += ptable.tobytes()
+        min_code = max(2, pbits)
+        out.append(min_code)
+        data = _lzw_encode(indices, min_code)
+        for off in range(0, len(data), 255):
+            block = data[off : off + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 # --------------------------------------------------------------------------

@@ -563,24 +563,31 @@ FRAME_STATS_SCHEMA = StructType(
 
 
 def frame_stats_rows(payload: bytes, mime: str):
-    """Scalar kernel: one row per DECODED video frame — integer-exact
-    stats plus an md5 of the raw pixel bytes (the exact-frame-dedup
-    key).  Unsupported/corrupt payloads yield a single flagged row
+    """Scalar kernel: one row per DECODED temporal frame — integer-
+    exact stats plus an md5 of the raw pixel bytes (the exact-frame-
+    dedup key).  MJPEG-AVI fans out its video frames; (animated) GIF
+    fans out every image rect in stream order (a single-image GIF is
+    one row).  Unsupported/corrupt payloads yield a single flagged row
     (frame_idx -1), never an exception — the stage-total-failure-free
     contract decode_stats_row honors."""
     import hashlib
 
+    from ..kernels import codecs
+
     try:
-        decoded = decode_asset(payload, mime)
-        if decoded[0] != "video":
-            raise NotImplementedError("frame_stats wants a video mime")
+        if mime == "image/gif":
+            frames = [rgb for _l, _t, rgb in codecs.decode_gif_frames(payload)]
+        else:
+            decoded = decode_asset(payload, mime)
+            if decoded[0] != "video":
+                raise NotImplementedError("frame_stats wants temporal media")
+            frames = decoded[4]
     except NotImplementedError:
         return [(-1, "unsupported", None, None, None, None, None)]
     except (ValueError, zlib.error, struct.error):
         return [(-1, "corrupt", None, None, None, None, None)]
-    _, _w, _h, _nch, frames = decoded
     out = []
-    for k in range(frames.shape[0]):
+    for k in range(len(frames)):
         frame = frames[k]
         vals = frame.astype(np.int64).ravel()
         out.append((
@@ -592,17 +599,18 @@ def frame_stats_rows(payload: bytes, mime: str):
 
 
 def frame_stats(assets: DataFrame) -> DataFrame:
-    """Video assets -> one row per decoded frame (stats + pixel md5).
+    """Temporal assets (video + GIF) -> one row per decoded frame
+    (stats + pixel md5).
 
     The frame-level twin of decode_stats: fan-out happens inside the
     Arrow batch (payload bytes never join a shuffle; only the 8 stat
     columns leave the scan stage), and `groupBy(pixel_md5)` on the
     result is exact cross-video frame dedup — the video analog of the
-    documents exact_dedup path.  Non-video assets are pruned BEFORE
+    documents exact_dedup path.  Non-temporal assets are pruned BEFORE
     the Python stage (JVM-side filter on mime)."""
-    src = assets.filter(F.col("mime").startswith("video/")).select(
-        "asset_id", "mime", "payload"
-    )
+    src = assets.filter(
+        F.col("mime").startswith("video/") | (F.col("mime") == "image/gif")
+    ).select("asset_id", "mime", "payload")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

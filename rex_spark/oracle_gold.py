@@ -561,14 +561,17 @@ def ensure_codec_gold(n: int = 120, seed: int = 42) -> Dict[str, str]:
             cols["sum_val"].append(int(vals.sum()))
             cols["min_val"].append(int(vals.min()))
             cols["max_val"].append(int(vals.max()))
-        # per-frame gold for the video fan-out (frame_stats): stats +
-        # pixel md5 from the SOURCE frame arrays (never the decoder)
+        # per-frame gold for the temporal fan-out (frame_stats): stats +
+        # pixel md5 from the SOURCE frame arrays (never the decoder).
+        # video/x-msvideo fans out its frame stack; the fixture's GIFs
+        # are single-image, so each contributes one frame-0 row (the
+        # animated multi-frame path is pinned by tests/test_codecs.py)
         vf = {name: [] for name in (
             "asset_id", "frame_idx", "status", "n_values", "sum_val",
             "min_val", "max_val", "pixel_md5")}
         for i in range(n):
             kind, mime, source, _meta = _asset_source(i, seed)
-            if kind != "video":
+            if kind != "video" and mime != "image/gif":
                 continue
             if mime == "video/mp4":
                 vf["asset_id"].append(i)
@@ -578,8 +581,9 @@ def ensure_codec_gold(n: int = 120, seed: int = 42) -> Dict[str, str]:
                              "pixel_md5"):
                     vf[name].append(None)
                 continue
-            for k in range(source.shape[0]):
-                frame = source[k]
+            frames = source if mime == "video/x-msvideo" else source[None]
+            for k in range(frames.shape[0]):
+                frame = frames[k]
                 fvals = frame.astype(np.int64).ravel()
                 vf["asset_id"].append(i)
                 vf["frame_idx"].append(k)

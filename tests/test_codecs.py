@@ -677,21 +677,23 @@ def test_frame_stats_matches_source_and_plants_dups(spark):
     want_md5 = {}
     for i in range(n):
         kind, mime, source, _meta = _asset_source(i, seed=42)
-        if kind != "video":
+        if kind != "video" and mime != "image/gif":
             assert not any(aid == i for aid, _ in got)
             continue
         if mime == "video/mp4":
             assert got[(i, -1)]["status"] == "unsupported"
             continue
-        for k in range(source.shape[0]):
-            vals = source[k].astype(np.int64).ravel()
+        frames = source if mime == "video/x-msvideo" else source[None]
+        for k in range(frames.shape[0]):
+            vals = frames[k].astype(np.int64).ravel()
             r = got[(i, k)]
             assert r["status"] == "ok"
             assert (r["n_values"], r["sum_val"]) == (vals.size, vals.sum())
             assert (r["min_val"], r["max_val"]) == (vals.min(), vals.max())
-            md5 = hashlib.md5(source[k].tobytes()).hexdigest()
+            md5 = hashlib.md5(frames[k].tobytes()).hexdigest()
             assert r["pixel_md5"] == md5
-            want_md5.setdefault(md5, set()).add(i)
+            if mime == "video/x-msvideo":
+                want_md5.setdefault(md5, set()).add(i)
     # planted dup: at least one first-frame md5 shared by >= 2 assets
     assert any(len(aids) >= 2 for aids in want_md5.values())
 
@@ -718,3 +720,48 @@ def test_distributed_asset_synthesis_matches_driver(spark):
         assert (ra["width"], ra["height"], ra["duration_ms"]) == (
             rb["width"], rb["height"], rb["duration_ms"]
         )
+
+
+def test_animated_gif_roundtrip_and_frame_stats():
+    """Multi-image GIF: every frame round-trips in stream order, and
+    the frame_stats kernel fans an animation out to one row per frame
+    (with the first-frame dedup md5 equal across two animations that
+    share frame 0)."""
+    import hashlib
+
+    from rex_spark.kernels.codecs import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+    from rex_spark.operators.multimodal import frame_stats_rows
+
+    r = _rng(31)
+    frames = [r.integers(0, 200, size=(14, 17)).astype(np.uint8)
+              for _ in range(4)]
+    payload = encode_gif_animation(frames)
+    out = decode_gif_frames(payload)
+    assert len(out) == 4
+    for src, (left, top, rgb) in zip(frames, out):
+        assert (left, top) == (0, 0)
+        assert np.array_equal(rgb, np.repeat(src[:, :, None], 3, 2))
+    # decode_gif (single-frame contract) sees exactly frame 0
+    assert np.array_equal(
+        decode_gif(payload), np.repeat(frames[0][:, :, None], 3, 2)
+    )
+    rows = frame_stats_rows(payload, "image/gif")
+    assert [row[0] for row in rows] == [0, 1, 2, 3]
+    for src, row in zip(frames, rows):
+        rgb = np.repeat(src[:, :, None], 3, 2)
+        vals = rgb.astype(np.int64).ravel()
+        assert row[1] == "ok"
+        assert (row[2], row[3]) == (vals.size, vals.sum())
+        assert row[6] == hashlib.md5(rgb.tobytes()).hexdigest()
+    # two animations sharing frame 0 -> same dedup key for row 0 only
+    other = encode_gif_animation([frames[0], frames[2][::-1]])
+    rows2 = frame_stats_rows(other, "image/gif")
+    assert rows2[0][6] == rows[0][6] and rows2[1][6] != rows[1][6]
+    # corrupt animation -> flagged row, not an exception
+    assert frame_stats_rows(payload[: len(payload) // 2], "image/gif") == [
+        (-1, "corrupt", None, None, None, None, None)
+    ]
