@@ -988,6 +988,21 @@ def q_asset_decode(spark, sf):
     return decode_stats(make_decodable_assets(spark, 120))
 
 
+def q_pdf_text(spark, sf):
+    """Baseline PDF text extraction over a deterministic corpus that
+    wraps the SAME synthetic page text the KG pipeline reads: per-doc
+    (status, n_pages, n_chars, text_md5), with planted /Encrypt docs
+    (-> 'unsupported') and truncated docs (-> 'corrupt') that must
+    flag, not fail.  Gold is the SOURCE text (kernels/synth.make_page)
+    — the extractor never runs on the gold side, so a green row
+    certifies the encode -> distributed-extract round-trip
+    (kernels/pdf.py: object-scan parser, FlateDecode, Tj/TJ/'/\"
+    operators, literal/hex strings with escapes)."""
+    from rex_spark.operators.pdftext import extract_pdf_texts, make_pdf_corpus
+
+    return extract_pdf_texts(make_pdf_corpus(spark, 150))
+
+
 def q_video_frames(spark, sf):
     """Per-FRAME temporal-media decode fan-out (frame_stats): MJPEG-AVI
     assets explode into one row per decoded video frame and (animated)
@@ -1220,12 +1235,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order and records at most ~50 rows, so the newest / merged queries
     come first and the long-stable relational queries (green in every
     prior round AND pinned by the local pytest oracle gate) come last.
-    45 entries — every one of r3's 65 fine-grained queries survives as
+    46 entries — every one of r3's 65 fine-grained queries survives as
     a tagged variant or joined column block inside exactly one entry
-    (mapping documented in README.md); video_frames is new in r5."""
+    (mapping documented in README.md); video_frames and pdf_text are
+    new in r5."""
     return {
         # --- merged / new this round ---
         "asset_decode": q_asset_decode,          # real PNG/BMP/JPEG/GIF/WAV/AVI decode
+        "pdf_text": q_pdf_text,                  # baseline PDF text plane
         "video_frames": q_video_frames,          # per-frame decode + dedup key
         "kg_extractors": q_kg_extractors,        # was kg_triples/kg_casrel/kg_usm
         "ner_decode": q_ner_decode,              # was ner_decode_sql/_udf + crf_decode
@@ -2018,6 +2035,7 @@ def _materialized_gold_oracles() -> dict[str, str]:
     ivf = og.ensure_ivf_gold(ORACLE_SF)
     assets = og.ensure_asset_gold()
     codec = og.ensure_codec_gold()
+    pdfg = og.ensure_pdf_gold()
     emb = og.ensure_emb_gold()
     annp = og.ensure_ann_gold_planted(ORACLE_SF)
     return {
@@ -2175,6 +2193,10 @@ def _materialized_gold_oracles() -> dict[str, str]:
                    min_val, max_val, pixel_md5
             FROM read_parquet('{codec["video_frames"]}')
         """,
+        "pdf_text": f"""
+            SELECT doc_id, status, n_pages, n_chars, text_md5
+            FROM read_parquet('{pdfg["pdf_text"]}')
+        """,
         "asset_stats": f"""
             SELECT kind, count(*) AS n_assets,
                    CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
@@ -2313,8 +2335,8 @@ def oracle_sql() -> dict[str, str]:
     }
     passthrough = [
         "kg_entities", "kg_edges", "kg_usm_ents", "emb_lookup",
-        "triple_facets", "pii_scrub", "asset_decode", "video_frames",
-        "asset_features",
+        "triple_facets", "pii_scrub", "asset_decode", "pdf_text",
+        "video_frames", "asset_features",
         "asset_stats", "asset_frames", "mrc_overlap", "exact_dedup",
         "span_matrix",
         "mrc_union", "multi_hot", "confusion", "agg_pricing",

@@ -627,6 +627,34 @@ def ensure_codec_gold(n: int = 120, seed: int = 42) -> Dict[str, str]:
     return paths
 
 
+def ensure_pdf_gold(n: int = 150, seed: int = 42) -> Dict[str, str]:
+    """PDF-extraction gold computed from the SOURCE page text
+    (kernels/synth.make_page) — kernels/pdf.extract_pdf_text is never
+    invoked here, so a green pdf_text row certifies the full
+    encode -> distributed Arrow extract round-trip."""
+    paths = {"pdf_text": os.path.join(GOLD_DIR, "pdf_text.parquet")}
+    with _lock:
+        if "pdf" in _done:
+            return paths
+        import pyarrow as pa
+
+        from .operators.pdftext import expected_pdf_row
+
+        rows = [expected_pdf_row(i, seed) for i in range(n)]
+        _write(
+            "pdf_text.parquet",
+            {
+                "doc_id": ([r[0] for r in rows], pa.int64()),
+                "status": ([r[1] for r in rows], pa.string()),
+                "n_pages": ([r[2] for r in rows], pa.int32()),
+                "n_chars": ([r[3] for r in rows], pa.int64()),
+                "text_md5": ([r[4] for r in rows], pa.string()),
+            },
+        )
+        _done.add("pdf")
+    return paths
+
+
 def ensure_asset_gold(n: int = 120, seed: int = 42) -> Dict[str, str]:
     """Asset metadata + feature-kernel gold computed without Spark."""
     paths = {
