@@ -988,6 +988,25 @@ def q_asset_decode(spark, sf):
     return decode_stats(make_decodable_assets(spark, 120))
 
 
+def q_warc_pages(spark, sf):
+    """WARC source connector: a 4-file *.warc.gz fixture (one gzip
+    member per record, the Common-Crawl seekability convention) read
+    through io/warc.read_warc — binaryFile file-level parallelism,
+    record fan-out inside the Arrow batch, HTTP envelope stripped.
+    Gold is make_page's fields directly; the parser never runs on the
+    gold side, so a green row certifies raw-dump -> pages-table."""
+    from rex_spark import oracle_gold as og
+    from rex_spark.io.warc import read_warc
+
+    paths = og.ensure_warc_fixture()
+    return read_warc(spark, paths["warc_dir"]).select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts"),
+        F.length("html").cast("long").alias("n_bytes"),
+        F.md5("html").alias("html_md5"),
+    )
+
+
 def q_pdf_text(spark, sf):
     """Baseline PDF text extraction over a deterministic corpus that
     wraps the SAME synthetic page text the KG pipeline reads: per-doc
@@ -1235,14 +1254,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order and records at most ~50 rows, so the newest / merged queries
     come first and the long-stable relational queries (green in every
     prior round AND pinned by the local pytest oracle gate) come last.
-    46 entries — every one of r3's 65 fine-grained queries survives as
+    47 entries — every one of r3's 65 fine-grained queries survives as
     a tagged variant or joined column block inside exactly one entry
-    (mapping documented in README.md); video_frames and pdf_text are
-    new in r5."""
+    (mapping documented in README.md); video_frames, pdf_text and
+    warc_pages are new in r5."""
     return {
         # --- merged / new this round ---
         "asset_decode": q_asset_decode,          # real PNG/BMP/JPEG/GIF/WAV/AVI decode
         "pdf_text": q_pdf_text,                  # baseline PDF text plane
+        "warc_pages": q_warc_pages,              # raw WARC dump -> pages table
         "video_frames": q_video_frames,          # per-frame decode + dedup key
         "kg_extractors": q_kg_extractors,        # was kg_triples/kg_casrel/kg_usm
         "ner_decode": q_ner_decode,              # was ner_decode_sql/_udf + crf_decode
@@ -2036,6 +2056,7 @@ def _materialized_gold_oracles() -> dict[str, str]:
     assets = og.ensure_asset_gold()
     codec = og.ensure_codec_gold()
     pdfg = og.ensure_pdf_gold()
+    warcg = og.ensure_warc_fixture()
     emb = og.ensure_emb_gold()
     annp = og.ensure_ann_gold_planted(ORACLE_SF)
     return {
@@ -2197,6 +2218,10 @@ def _materialized_gold_oracles() -> dict[str, str]:
             SELECT doc_id, status, n_pages, n_chars, text_md5
             FROM read_parquet('{pdfg["pdf_text"]}')
         """,
+        "warc_pages": f"""
+            SELECT url, warc_ts, n_bytes, html_md5
+            FROM read_parquet('{warcg["warc_pages"]}')
+        """,
         "asset_stats": f"""
             SELECT kind, count(*) AS n_assets,
                    CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
@@ -2336,7 +2361,7 @@ def oracle_sql() -> dict[str, str]:
     passthrough = [
         "kg_entities", "kg_edges", "kg_usm_ents", "emb_lookup",
         "triple_facets", "pii_scrub", "asset_decode", "pdf_text",
-        "video_frames", "asset_features",
+        "warc_pages", "video_frames", "asset_features",
         "asset_stats", "asset_frames", "mrc_overlap", "exact_dedup",
         "span_matrix",
         "mrc_union", "multi_hot", "confusion", "agg_pricing",

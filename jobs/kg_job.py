@@ -10,6 +10,12 @@ submitted as
         --stage-root  /data/stages \
         --salt-partitions 64
 
+or straight from a raw Common-Crawl-layout WARC dump (text/lang
+recomputed, not trusted):
+
+    spark-submit --py-files rex_spark.zip jobs/kg_job.py \
+        --pages-warc '/data/crawl/*.warc.gz' --stage-root /data/stages
+
 or locally:
 
     PYTHONPATH=. python jobs/kg_job.py --synthetic 10000 --stage-root /tmp/kg
@@ -30,6 +36,9 @@ def parse_args(argv):
     p = argparse.ArgumentParser(description=__doc__)
     src = p.add_mutually_exclusive_group()
     src.add_argument("--pages-table", help="path of the pages table (parquet/Iceberg-style dir)")
+    src.add_argument("--pages-warc", help="directory/glob of raw *.warc(.gz) "
+                     "files (Common-Crawl layout); the job starts from the "
+                     "raw dump — text/lang are recomputed, not trusted")
     src.add_argument("--synthetic", type=int, metavar="N", help="synthesize N pages (seed fixed)")
     p.add_argument("-c", "--config", action="append", default=[],
                    help="yaml config file(s); later files override earlier (REx -c)")
@@ -117,8 +126,11 @@ def main(argv=None) -> None:
     if args.scrub_pii:
         cfg = cfg.merged_with({"scrub_pii": True})
 
-    if cfg.pages_table is None and cfg.synthetic_pages is None:
-        raise SystemExit("need --pages-table/--synthetic (or config equivalent)")
+    if (cfg.pages_table is None and cfg.synthetic_pages is None
+            and args.pages_warc is None):
+        raise SystemExit(
+            "need --pages-table/--pages-warc/--synthetic (or config equivalent)"
+        )
     if not args.no_store and not cfg.stage_root:
         raise SystemExit("--stage-root (or config stage_root) required unless --no-store")
 
@@ -127,7 +139,19 @@ def main(argv=None) -> None:
         shuffle_partitions=cfg.shuffle_partitions,
         app_name="rex_spark_kg_job",
     )
-    if cfg.pages_table:
+    if args.pages_warc:
+        # raw Common-Crawl dump: file-parallel WARC parse; a dump has
+        # no trusted text/lang columns — the pipeline recomputes both
+        from pyspark.sql import functions as F
+
+        from rex_spark.io.warc import read_warc
+
+        pages = (
+            read_warc(spark, args.pages_warc)
+            .withColumn("text", F.lit(None).cast("string"))
+            .withColumn("lang", F.lit(None).cast("string"))
+        )
+    elif cfg.pages_table:
         pages = spark.read.parquet(cfg.pages_table)
     else:
         pages = build_pages_df_distributed(spark, cfg.synthetic_pages, seed=cfg.seed)

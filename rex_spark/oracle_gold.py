@@ -655,6 +655,58 @@ def ensure_pdf_gold(n: int = 150, seed: int = 42) -> Dict[str, str]:
     return paths
 
 
+def ensure_warc_fixture(
+    n: int = 200, files: int = 4, seed: int = 42
+) -> Dict[str, str]:
+    """Write a deterministic multi-file *.warc.gz corpus (the raw
+    Common-Crawl container) wrapping make_page's pages, plus gold rows
+    computed from make_page DIRECTLY — io/warc.py's parser never runs
+    on the gold side, so a green warc_pages row certifies the
+    encode -> binaryFile -> distributed-parse round-trip."""
+    warc_dir = os.path.join(GOLD_DIR, "warc")
+    paths = {
+        "warc_dir": warc_dir,
+        "warc_pages": os.path.join(GOLD_DIR, "warc_pages.parquet"),
+    }
+    with _lock:
+        if "warc" in _done:
+            return paths
+        import hashlib
+
+        import pyarrow as pa
+
+        from .io.warc import encode_warc_gz
+        from .kernels.synth import make_page
+
+        pages = [make_page(i, seed)[0] for i in range(n)]
+        os.makedirs(warc_dir, exist_ok=True)
+        per = -(-n // files)
+        for k in range(files):
+            chunk = pages[k * per : (k + 1) * per]
+            recs = [(p["url"], p["warc_ts"], p["html"]) for p in chunk]
+            tmp = os.path.join(warc_dir, f".part-{k:02d}.tmp.{os.getpid()}")
+            with open(tmp, "wb") as f:
+                f.write(encode_warc_gz(recs))
+            os.replace(tmp, os.path.join(warc_dir, f"part-{k:02d}.warc.gz"))
+        _write(
+            "warc_pages.parquet",
+            {
+                "url": ([p["url"] for p in pages], pa.string()),
+                "warc_ts": (
+                    [p["warc_ts"].strftime("%Y-%m-%d %H:%M:%S") for p in pages],
+                    pa.string(),
+                ),
+                "n_bytes": ([len(p["html"]) for p in pages], pa.int64()),
+                "html_md5": (
+                    [hashlib.md5(p["html"]).hexdigest() for p in pages],
+                    pa.string(),
+                ),
+            },
+        )
+        _done.add("warc")
+    return paths
+
+
 def ensure_asset_gold(n: int = 120, seed: int = 42) -> Dict[str, str]:
     """Asset metadata + feature-kernel gold computed without Spark."""
     paths = {

@@ -1,0 +1,109 @@
+"""WARC source connector (io/warc.py): writer/parser round-trips, a
+hand-crafted wire vector pinning the record grammar independently of
+our writer, corrupt-input contracts, and the Spark connector
+(binaryFile file-parallel read -> pages DataFrame -> the KG pipeline
+accepts it)."""
+
+import datetime as dt
+import gzip
+import os
+
+import pytest
+
+from rex_spark.io.warc import (
+    _gzip_members,
+    encode_warc_gz,
+    parse_warc,
+    read_warc,
+)
+from rex_spark.kernels.synth import make_page
+
+
+def _recs(n, seed=42):
+    out = []
+    for i in range(n):
+        p, _ = make_page(i, seed)
+        out.append((p["url"], p["warc_ts"], p["html"]))
+    return out
+
+
+def test_warc_roundtrip_gz_and_raw():
+    recs = _recs(25)
+    pay = encode_warc_gz(recs)
+    assert parse_warc(pay) == recs
+    assert parse_warc(b"".join(_gzip_members(pay))) == recs
+    # one gzip member per record: seekability convention
+    assert sum(1 for _ in _gzip_members(pay)) == 25
+
+
+def test_warc_crafted_wire_vector():
+    """Hand-built record run, never touched by encode_warc_gz: a
+    warcinfo record (skipped), a request record (skipped), a response
+    whose HTTP body contains CRLFCRLF (must not re-split), and
+    lowercase/extra headers."""
+    body = b"<html>a\r\n\r\nb</html>"
+    http = b"HTTP/1.1 200 OK\r\nX-Extra: 1\r\n\r\n" + body
+    rec = (
+        b"WARC/1.0\r\n"
+        b"warc-type: response\r\n"
+        b"WARC-Target-URI: https://x.example/one\r\n"
+        b"WARC-Date: 2024-01-02T03:04:05Z\r\n"
+        b"WARC-Record-ID: <urn:uuid:1>\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        + http + b"\r\n\r\n"
+    )
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nname"
+        b"\r\n\r\n"
+    )
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Target-URI: https://x.example/one\r\n"
+        b"Content-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    rows = parse_warc(info + req + rec)
+    assert rows == [
+        ("https://x.example/one", dt.datetime(2024, 1, 2, 3, 4, 5), body)
+    ]
+    # same content as a single gzip member
+    assert parse_warc(gzip.compress(info + req + rec)) == rows
+
+
+def test_warc_corrupt_contracts():
+    pay = encode_warc_gz(_recs(5))
+    for bad in (pay[: len(pay) // 2], b"\x1f\x8bgarbage",
+                b"WARC/1.0\r\nContent-Length: 99\r\n\r\nshort"):
+        with pytest.raises(ValueError):
+            parse_warc(bad)
+    with pytest.raises(ValueError):  # record without Content-Length
+        parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n")
+
+
+def test_read_warc_spark_and_pipeline(spark, tmp_path):
+    """Connector end-to-end: 3 files -> pages DataFrame (3 input
+    tasks), rows equal the source records, and the DataFrame feeds the
+    KG pipeline directly (raw dump -> triples)."""
+    recs = _recs(36)
+    for k in range(3):
+        (tmp_path / f"part-{k}.warc.gz").write_bytes(
+            encode_warc_gz(recs[k * 12 : (k + 1) * 12])
+        )
+    df = read_warc(spark, str(tmp_path))
+    got = {
+        r["url"]: (r["warc_ts"], bytes(r["html"])) for r in df.collect()
+    }
+    assert len(got) == 36
+    for url, ts, html in recs:
+        assert got[url] == (ts, html)
+    # the connector's output is a valid pipeline input (needs text/lang
+    # columns too — a raw dump has neither, which is exactly the
+    # from-scratch shape: pipeline recomputes text from html)
+    from pyspark.sql import functions as F
+
+    from rex_spark.pipeline import run_pipeline
+
+    pages = df.withColumn("text", F.lit(None).cast("string")).withColumn(
+        "lang", F.lit(None).cast("string")
+    )
+    result = run_pipeline(spark, pages, store=None, salt_partitions=4)
+    assert result["triple_set"].count() > 0
