@@ -25,6 +25,10 @@ import sys
 def parse_args(argv):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input-dir", required=True)
+    p.add_argument("--input-format", choices=["parquet", "warc"],
+                   default="parquet",
+                   help="'warc' treats --input-dir as a growing crawl "
+                        "directory of raw *.warc(.gz) files")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--max-files-per-trigger", type=int, default=16)
@@ -38,11 +42,16 @@ def main(argv=None) -> None:
     args = parse_args(argv if argv is not None else sys.argv[1:])
 
     from rex_spark.session import get_session
-    from rex_spark.streaming import incremental_triples, stream_pages
+    from rex_spark.streaming import (
+        incremental_triples,
+        stream_pages,
+        stream_warc_pages,
+    )
 
     spark = get_session(master=args.master, app_name="rex_spark_stream_job")
+    source = stream_warc_pages if args.input_format == "warc" else stream_pages
     q = incremental_triples(
-        stream_pages(
+        source(
             spark, args.input_dir, max_files_per_trigger=args.max_files_per_trigger
         ),
         args.output_dir,

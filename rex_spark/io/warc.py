@@ -63,49 +63,66 @@ def encode_warc_gz(records: List[Tuple[str, dt.datetime, bytes]]) -> bytes:
 # ---------------------------------------------------------------------------
 
 def _gzip_members(payload: bytes) -> Iterator[bytes]:
-    """Yield each gzip member of a multi-member stream."""
+    """Yield each gzip member of a multi-member stream.  The input is
+    wrapped in a memoryview so the per-member tail slice is O(1) — a
+    1 GB CC file has ~50k members, and a bytes slice per member would
+    be quadratic memcpy."""
+    view = memoryview(payload)
     pos = 0
-    while pos < len(payload):
+    while pos < len(view):
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
         try:
-            member = d.decompress(payload[pos:])
+            member = d.decompress(view[pos:])
         except zlib.error as exc:
             raise ValueError(f"bad gzip member at offset {pos}: {exc}") from exc
         if not d.eof:
             raise ValueError(f"truncated gzip member at offset {pos}")
         yield member
-        consumed = len(payload) - pos - len(d.unused_data)
+        consumed = len(view) - pos - len(d.unused_data)
         if consumed <= 0:
             raise ValueError("gzip member consumed no bytes")
         pos += consumed
 
 
-def _parse_record(raw: bytes, pos: int) -> tuple[dict, bytes, int]:
-    """One WARC record at raw[pos:] -> (headers, block, next_pos)."""
-    if not raw.startswith(b"WARC/", pos):
-        raise ValueError("missing WARC/ record header")
-    head_end = raw.find(_CRLF2, pos)
-    if head_end < 0:
-        raise ValueError("unterminated WARC header block")
-    headers: dict = {}
-    for line in raw[pos:head_end].split(b"\r\n")[1:]:
-        k, _, v = line.partition(b":")
-        headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
-            "latin-1"
-        )
-    try:
-        length = int(headers["content-length"])
-    except (KeyError, ValueError) as exc:
-        raise ValueError("WARC record missing Content-Length") from exc
-    body_start = head_end + len(_CRLF2)
-    if body_start + length > len(raw):
-        raise ValueError("WARC record body overruns payload")
-    block = raw[body_start : body_start + length]
-    next_pos = body_start + length
-    # per spec each record is followed by two CRLFs
-    while raw.startswith(b"\r\n", next_pos):
-        next_pos += 2
-    return headers, block, next_pos
+def _split_records(chunks: Iterator[bytes]) -> Iterator[tuple[dict, bytes]]:
+    """(headers, block) per WARC record from a chunk stream.  Records
+    are parsed as soon as they are complete in the buffer — with the
+    CC member-per-record convention the buffer never holds more than
+    one record, but records spanning chunk boundaries are handled (the
+    WARC spec does not forbid them)."""
+    buf = bytearray()
+    for chunk in chunks:
+        buf += chunk
+        while True:
+            # tolerate leading record-separator CRLFs (they may arrive
+            # in a later chunk than the record they terminate)
+            start = 0
+            while buf.startswith(b"\r\n", start):
+                start += 2
+            if start:
+                del buf[:start]
+            head_end = buf.find(_CRLF2)
+            if head_end < 0:
+                break
+            if not buf.startswith(b"WARC/"):
+                raise ValueError("missing WARC/ record header")
+            headers: dict = {}
+            for line in bytes(buf[:head_end]).split(b"\r\n")[1:]:
+                k, _, v = line.partition(b":")
+                headers[k.strip().lower().decode("utf-8", "replace")] = (
+                    v.strip().decode("utf-8", "replace")
+                )
+            try:
+                length = int(headers["content-length"])
+            except (KeyError, ValueError) as exc:
+                raise ValueError("WARC record missing Content-Length") from exc
+            body_start = head_end + len(_CRLF2)
+            if body_start + length > len(buf):
+                break  # body not complete yet; wait for more chunks
+            yield headers, bytes(buf[body_start : body_start + length])
+            del buf[: body_start + length]
+    if buf.strip(b"\r\n"):
+        raise ValueError("truncated WARC record at end of payload")
 
 
 def _http_body(block: bytes) -> bytes:
@@ -113,26 +130,33 @@ def _http_body(block: bytes) -> bytes:
     return block[split + len(_CRLF2):] if split >= 0 else block
 
 
-def parse_warc(payload: bytes) -> List[Tuple[str, dt.datetime, bytes]]:
-    """*.warc(.gz) bytes -> [(url, warc_ts, html_bytes)] for every
-    response record; non-response records are skipped."""
-    if payload[:2] == b"\x1f\x8b":
-        raw = b"".join(_gzip_members(payload))
-    else:
-        raw = payload
-    rows = []
-    pos = 0
-    while pos < len(raw):
-        headers, block, pos = _parse_record(raw, pos)
+def iter_warc(payload: bytes) -> Iterator[Tuple[str, dt.datetime, bytes]]:
+    """Stream (url, warc_ts, html_bytes) response rows out of
+    *.warc(.gz) bytes — one record in flight at a time (the CC
+    member-per-record layout decompresses and parses incrementally);
+    non-response records are skipped.  warc_ts is UTC-aware
+    (WARC-Date is defined as UTC)."""
+    chunks = (
+        _gzip_members(payload)
+        if payload[:2] == b"\x1f\x8b"
+        else iter((payload,))
+    )
+    for headers, block in _split_records(chunks):
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri")
         date = headers.get("warc-date")
         if not url or not date:
             raise ValueError("response record missing URI/Date")
-        ts = dt.datetime.strptime(date[:19], "%Y-%m-%dT%H:%M:%S")
-        rows.append((url, ts, _http_body(block)))
-    return rows
+        ts = dt.datetime.strptime(date[:19], "%Y-%m-%dT%H:%M:%S").replace(
+            tzinfo=dt.timezone.utc
+        )
+        yield url, ts, _http_body(block)
+
+
+def parse_warc(payload: bytes) -> List[Tuple[str, dt.datetime, bytes]]:
+    """Materialized iter_warc (small payloads / tests)."""
+    return list(iter_warc(payload))
 
 
 def read_warc(spark, path: str):
@@ -160,10 +184,21 @@ def read_warc(spark, path: str):
     files = spark.read.format("binaryFile").load(path).select("content")
 
     def expand(batches):
+        # bounded output frames: a 1 GB crawl file must never become
+        # ONE pandas frame (records stream out of iter_warc; only
+        # CHUNK_ROWS rows are materialized at a time)
+        CHUNK_ROWS = 2048
+        rows = []
         for pdf in batches:
-            rows = []
             for content in pdf["content"]:
-                rows.extend(parse_warc(bytes(content)))
+                for row in iter_warc(bytes(content)):
+                    rows.append(row)
+                    if len(rows) >= CHUNK_ROWS:
+                        yield pd.DataFrame(
+                            rows, columns=["url", "warc_ts", "html"]
+                        )
+                        rows = []
+        if rows:
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
 
     return files.mapInPandas(expand, schema=schema)

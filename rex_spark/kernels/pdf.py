@@ -275,9 +275,9 @@ def _parse_literal(data: bytes, i: int) -> tuple[bytes, int]:
             if nxt in _ESCAPES:
                 out += _ESCAPES[nxt]
                 i += 2
-            elif nxt.isdigit():  # \ooo octal, 1-3 digits
+            elif nxt and nxt in b"01234567":  # \ooo octal, 1-3 digits
                 j = i + 1
-                while j < min(i + 4, len(data)) and data[j : j + 1].isdigit():
+                while j < min(i + 4, len(data)) and data[j] in b"01234567":
                     j += 1
                 out.append(int(data[i + 1 : j], 8) & 0xFF)
                 i = j
@@ -336,13 +336,11 @@ def _extract_stream_text(data: bytes) -> str:
     in_text = False
     i = 0
 
-    def show(s: bytes, breaking: bool, in_array: bool) -> None:
+    def show(s: bytes, breaking: bool) -> None:
+        # no pending break -> concatenate (TJ-array continuation)
         nonlocal pending_break
         if out and (pending_break or breaking):
             out.append("\n")
-            pending_break = False
-        elif in_array and out and not pending_break:
-            pass  # TJ-array continuation: concatenate
         out.append(_decode_shown(s))
         pending_break = False
 
@@ -356,8 +354,7 @@ def _extract_stream_text(data: bytes) -> str:
             # Tj / ' / " show it; inside a TJ array the next token is a
             # kerning number, another string, or the closing ] TJ
             m = re.match(rb"\s*(\]\s*TJ|Tj|'|\")", data[i:])
-            show(s, breaking=bool(m) and m.group(1) in (b"'", b'"'),
-                 in_array=not m)
+            show(s, breaking=bool(m) and m.group(1) in (b"'", b'"'))
             continue
         if ch.isspace():
             i += 1

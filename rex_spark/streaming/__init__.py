@@ -4,5 +4,6 @@ from .incremental import (  # noqa: F401
     incremental_triples,
     running_surface_state,
     stream_pages,
+    stream_warc_pages,
     triple_counts_by_window,
 )

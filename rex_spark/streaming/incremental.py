@@ -36,6 +36,64 @@ def stream_pages(
     )
 
 
+def stream_warc_pages(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """Streaming source over a GROWING crawl directory of raw
+    *.warc(.gz) files: binaryFile file stream -> io/warc record
+    fan-out inside the Arrow batch -> PAGES_SCHEMA rows (text/lang
+    null — a raw dump has neither; the pipeline recomputes).  New
+    crawl files landing in ``path`` become micro-batches, so the
+    same exactly-once foreachBatch pipeline that consumes the parquet
+    stream consumes the crawl as it is written."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from ..io.warc import iter_warc
+
+    bin_schema = StructType(
+        [
+            StructField("path", StringType(), True),
+            StructField("modificationTime", TimestampType(), True),
+            StructField("length", LongType(), True),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(bin_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(path)
+        .select("content")
+    )
+
+    def expand(batches):
+        CHUNK_ROWS = 2048
+        rows = []
+        for pdf in batches:
+            for content in pdf["content"]:
+                for url, ts, html in iter_warc(bytes(content)):
+                    rows.append((url, ts, html, None, None))
+                    if len(rows) >= CHUNK_ROWS:
+                        yield pd.DataFrame(
+                            rows, columns=[f.name for f in PAGES_SCHEMA.fields]
+                        )
+                        rows = []
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PAGES_SCHEMA.fields]
+            )
+
+    return files.mapInPandas(expand, schema=PAGES_SCHEMA)
+
+
 def incremental_triples(
     pages_stream: DataFrame,
     output_dir: str,

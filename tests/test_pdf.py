@@ -180,3 +180,20 @@ def test_pdf_accidental_obj_markers_inside_stream_data():
         + b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
     )
     assert extract_pdf_text(pdf) == ["before\nafter"]
+
+
+def test_pdf_non_octal_backslash_escapes():
+    """\\8 and \\9 are NOT octal: per spec the backslash before a
+    non-escape char is dropped and the char kept (a real-world PDF
+    with (a\\8b) must extract as 'a8b', not flag corrupt)."""
+    content = b"BT (a\\8b\\9c\\101) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        + _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+        + _obj(3, b"<< /Type /Page /Contents 4 0 R >>")
+        + _obj(4, b"<< /Length %d >>\nstream\n" % len(content)
+               + content + b"\nendstream")
+        + b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == ["a8b9cA"]

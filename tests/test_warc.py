@@ -27,13 +27,38 @@ def _recs(n, seed=42):
     return out
 
 
+def _aware(recs):
+    """parse_warc returns UTC-AWARE timestamps (WARC-Date is UTC)."""
+    return [
+        (u, t.replace(tzinfo=dt.timezone.utc), h) for u, t, h in recs
+    ]
+
+
 def test_warc_roundtrip_gz_and_raw():
     recs = _recs(25)
     pay = encode_warc_gz(recs)
-    assert parse_warc(pay) == recs
-    assert parse_warc(b"".join(_gzip_members(pay))) == recs
+    assert parse_warc(pay) == _aware(recs)
+    assert parse_warc(b"".join(_gzip_members(pay))) == _aware(recs)
     # one gzip member per record: seekability convention
     assert sum(1 for _ in _gzip_members(pay)) == 25
+
+
+def test_warc_utf8_headers_and_chunk_spanning_records():
+    import gzip as _gzip
+
+    from rex_spark.io.warc import _split_records
+
+    # non-ASCII target URI must round-trip through UTF-8 headers
+    url = "https://ex.com/café/阿里"
+    ts = dt.datetime(2024, 5, 6, 7, 8, 9)
+    pay = encode_warc_gz([(url, ts, b"<html>x</html>")])
+    assert parse_warc(pay)[0][0] == url
+    # a record split across chunk boundaries (members need not align
+    # with records per the spec) parses identically
+    raw = _gzip.decompress(pay)
+    for cut in (3, len(raw) // 2, len(raw) - 3):
+        rows = list(_split_records(iter([raw[:cut], raw[cut:]])))
+        assert len(rows) == 1 and rows[0][0]["warc-target-uri"] == url
 
 
 def test_warc_crafted_wire_vector():
@@ -63,7 +88,11 @@ def test_warc_crafted_wire_vector():
     )
     rows = parse_warc(info + req + rec)
     assert rows == [
-        ("https://x.example/one", dt.datetime(2024, 1, 2, 3, 4, 5), body)
+        (
+            "https://x.example/one",
+            dt.datetime(2024, 1, 2, 3, 4, 5, tzinfo=dt.timezone.utc),
+            body,
+        )
     ]
     # same content as a single gzip member
     assert parse_warc(gzip.compress(info + req + rec)) == rows
@@ -107,3 +136,49 @@ def test_read_warc_spark_and_pipeline(spark, tmp_path):
     )
     result = run_pipeline(spark, pages, store=None, salt_partitions=4)
     assert result["triple_set"].count() > 0
+
+
+def test_stream_warc_pages_incremental_drains(spark, tmp_path):
+    """A growing crawl directory: drop wave 1 of *.warc.gz, drain
+    (availableNow), drop wave 2, drain again — triples accumulate
+    exactly once and equal a batch run over the union."""
+    from pyspark.sql import functions as F
+
+    from rex_spark.pipeline import run_pipeline
+    from rex_spark.streaming import incremental_triples, stream_warc_pages
+
+    crawl = tmp_path / "crawl"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    crawl.mkdir()
+    recs = _recs(30)
+
+    def drain():
+        q = incremental_triples(
+            stream_warc_pages(spark, str(crawl), max_files_per_trigger=2),
+            str(out), str(ckpt), available_now=True,
+        )
+        q.awaitTermination()
+
+    (crawl / "w0.warc.gz").write_bytes(encode_warc_gz(recs[:10]))
+    (crawl / "w1.warc.gz").write_bytes(encode_warc_gz(recs[10:20]))
+    drain()
+    n1 = spark.read.parquet(str(out)).count()
+    assert n1 > 0
+    (crawl / "w2.warc.gz").write_bytes(encode_warc_gz(recs[20:]))
+    drain()
+    streamed = spark.read.parquet(str(out))
+    # batch reference over the SAME raw dump
+    from rex_spark.io.warc import read_warc
+
+    pages = (
+        read_warc(spark, str(crawl))
+        .withColumn("text", F.lit(None).cast("string"))
+        .withColumn("lang", F.lit(None).cast("string"))
+    )
+    batch = run_pipeline(spark, pages, store=None, salt_partitions=4)[
+        "triple_set"
+    ]
+    s = streamed.select("url", "subj", "pred", "obj")
+    b = batch.select("url", "subj", "pred", "obj")
+    assert s.exceptAll(b).count() == 0 and b.exceptAll(s).count() == 0

@@ -216,6 +216,8 @@ def main() -> None:
     p.add_argument("--update-baseline", action="store_true")
     args = p.parse_args()
     if args.worker:
+        if args.cores is None:
+            p.error("--worker requires --cores N")
         worker(args.cores, args.pages, args.runs)
         return
     out = driver(args.pages, args.runs, args.lo, args.hi,
