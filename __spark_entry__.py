@@ -988,6 +988,40 @@ def q_asset_decode(spark, sf):
     return decode_stats(make_decodable_assets(spark, 120))
 
 
+def q_url_canon(spark, sf):
+    """URL canonicalization (crawl dedup key) — pure JVM column
+    expressions with a pure-SQL oracle: messy URL spellings are
+    synthesized from doc_id by the SAME deterministic expression in
+    both engines (mixed-case scheme/host, default and explicit ports,
+    shuffled query params, fragments), then canonicalized
+    (operators/urls.py rules) and grouped per host to show the
+    politeness-rollup shape."""
+    from rex_spark.operators.urls import canonical_url, url_parts
+
+    docs = _t(spark, sf, "documents")
+    k = (F.col("doc_id") % 50).cast("string")
+    i = F.col("doc_id").cast("string")
+    messy = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(
+            F.lit("HTTP://Site"), k, F.lit(".Example.COM:80/Path/"), i,
+            F.lit("?b=2&a=1#frag")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(
+            F.lit("https://site"), k, F.lit(".example.com/"), i))
+        .when(F.col("doc_id") % 4 == 2, F.concat(
+            F.lit("HTTPS://SITE"), k, F.lit(".Example.com:8443/x/"), i,
+            F.lit("?z=9&y=8&x=7")))
+        .otherwise(F.concat(
+            F.lit("http://site"), k, F.lit(".example.com:8080/p?q="), i))
+    )
+    urls = docs.select("doc_id", messy.alias("url"))
+    return urls.select(
+        "doc_id",
+        F.col("url").alias("raw_url"),
+        canonical_url("url").alias("canon_url"),
+        url_parts("url")["host"].alias("host"),
+    )
+
+
 def q_warc_pages(spark, sf):
     """WARC source connector: a 4-file *.warc.gz fixture (one gzip
     member per record, the Common-Crawl seekability convention) read
@@ -1254,15 +1288,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order and records at most ~50 rows, so the newest / merged queries
     come first and the long-stable relational queries (green in every
     prior round AND pinned by the local pytest oracle gate) come last.
-    47 entries — every one of r3's 65 fine-grained queries survives as
+    48 entries — every one of r3's 65 fine-grained queries survives as
     a tagged variant or joined column block inside exactly one entry
-    (mapping documented in README.md); video_frames, pdf_text and
-    warc_pages are new in r5."""
+    (mapping documented in README.md); video_frames, pdf_text,
+    warc_pages and url_canon are new in r5."""
     return {
         # --- merged / new this round ---
         "asset_decode": q_asset_decode,          # real PNG/BMP/JPEG/GIF/WAV/AVI decode
         "pdf_text": q_pdf_text,                  # baseline PDF text plane
         "warc_pages": q_warc_pages,              # raw WARC dump -> pages table
+        "url_canon": q_url_canon,                # crawl dedup key (pure JVM)
         "video_frames": q_video_frames,          # per-frame decode + dedup key
         "kg_extractors": q_kg_extractors,        # was kg_triples/kg_casrel/kg_usm
         "ner_decode": q_ner_decode,              # was ner_decode_sql/_udf + crf_decode
@@ -2222,6 +2257,49 @@ def _materialized_gold_oracles() -> dict[str, str]:
             SELECT url, warc_ts, n_bytes, html_md5
             FROM read_parquet('{warcg["warc_pages"]}')
         """,
+        "url_canon": """
+            WITH u AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INT)
+                  WHEN 0 THEN 'HTTP://Site' || CAST(doc_id % 50 AS VARCHAR)
+                    || '.Example.COM:80/Path/' || CAST(doc_id AS VARCHAR)
+                    || '?b=2&a=1#frag'
+                  WHEN 1 THEN 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+                    || '.example.com/' || CAST(doc_id AS VARCHAR)
+                  WHEN 2 THEN 'HTTPS://SITE' || CAST(doc_id % 50 AS VARCHAR)
+                    || '.Example.com:8443/x/' || CAST(doc_id AS VARCHAR)
+                    || '?z=9&y=8&x=7'
+                  ELSE 'http://site' || CAST(doc_id % 50 AS VARCHAR)
+                    || '.example.com:8080/p?q=' || CAST(doc_id AS VARCHAR)
+                END AS url
+              FROM documents
+            ), p AS (
+              SELECT doc_id, url,
+                lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme,
+                lower(regexp_extract(regexp_extract(url,
+                  '^[^:]+://([^/?#]*)', 1), '^([^:]*)', 1)) AS host,
+                regexp_extract(regexp_extract(url,
+                  '^[^:]+://([^/?#]*)', 1), ':([0-9]+)$', 1) AS port,
+                regexp_extract(url,
+                  '^[^:]+://[^/?#]*([^?#]*)', 1) AS path,
+                regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM u
+            )
+            SELECT doc_id, url AS raw_url,
+              scheme || '://' || host
+              || CASE WHEN port = ''
+                        OR (scheme = 'http' AND port = '80')
+                        OR (scheme = 'https' AND port = '443')
+                      THEN '' ELSE ':' || port END
+              || CASE WHEN path = '' THEN '/' ELSE path END
+              || CASE WHEN query = '' THEN ''
+                      ELSE '?' || array_to_string(
+                        list_sort(string_split(query, '&')), '&') END
+              AS canon_url,
+              host
+            FROM p
+        """,
         "asset_stats": f"""
             SELECT kind, count(*) AS n_assets,
                    CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
@@ -2361,7 +2439,7 @@ def oracle_sql() -> dict[str, str]:
     passthrough = [
         "kg_entities", "kg_edges", "kg_usm_ents", "emb_lookup",
         "triple_facets", "pii_scrub", "asset_decode", "pdf_text",
-        "warc_pages", "video_frames", "asset_features",
+        "warc_pages", "url_canon", "video_frames", "asset_features",
         "asset_stats", "asset_frames", "mrc_overlap", "exact_dedup",
         "span_matrix",
         "mrc_union", "multi_hot", "confusion", "agg_pricing",

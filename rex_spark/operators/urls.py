@@ -1,0 +1,67 @@
+"""URL canonicalization — the crawl-side dedup/join key.
+
+A 10^12-document crawl sees the same page under many spellings
+(mixed-case scheme/host, explicit default ports, shuffled query
+params, fragments).  Exact dedup, per-host politeness rollups and
+url-keyed joins all need ONE canonical spelling, computed JVM-side
+(pure built-in column expressions — no Python anywhere, fully
+codegen'd, fully pushdown-friendly).
+
+Rules (the conservative, lossless subset every crawler agrees on):
+- scheme and host lowercased;
+- default port stripped (``:80`` for http, ``:443`` for https), other
+  ports kept;
+- fragment dropped (never sent to the server);
+- query parameters sorted bytewise (``?b=2&a=1`` == ``?a=1&b=2``);
+  empty query dropped;
+- empty path becomes ``/``; path case is KEPT (paths are
+  case-sensitive per RFC 3986).
+
+No reference analog: Spico197/REx has no crawl layer; this is part of
+the web-corpus plane per the builder's brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def url_parts(url: Column | str) -> dict[str, Column]:
+    """Decomposed pieces of a URL column (each a Column)."""
+    url = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    authority = F.regexp_extract(url, r"^[^:]+://([^/?#]*)", 1)
+    host = F.lower(F.regexp_extract(authority, r"^([^:]*)", 1))
+    port = F.regexp_extract(authority, r":([0-9]+)$", 1)
+    path = F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    return {
+        "scheme": scheme,
+        "host": host,
+        "port": port,
+        "path": path,
+        "query": query,
+    }
+
+
+def canonical_url(url: Column | str) -> Column:
+    """One canonical spelling per URL (see module rules)."""
+    p = url_parts(url)
+    default_port = (
+        ((p["scheme"] == "http") & (p["port"] == "80"))
+        | ((p["scheme"] == "https") & (p["port"] == "443"))
+    )
+    port_part = F.when(
+        (p["port"] == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), p["port"]))
+    path_part = F.when(p["path"] == "", F.lit("/")).otherwise(p["path"])
+    sorted_query = F.array_join(
+        F.sort_array(F.split(p["query"], "&")), "&"
+    )
+    query_part = F.when(p["query"] == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), sorted_query)
+    )
+    return F.concat(
+        p["scheme"], F.lit("://"), p["host"], port_part, path_part, query_part
+    )
