@@ -159,12 +159,21 @@ def parse_warc(payload: bytes) -> List[Tuple[str, dt.datetime, bytes]]:
     return list(iter_warc(payload))
 
 
-def read_warc(spark, path: str):
+def read_warc(spark, path: str, corrupt: str = "fail"):
     """Directory (or glob) of *.warc / *.warc.gz files -> DataFrame
     (url, warc_ts, html).  One input task per FILE (binaryFile
     source); records fan out inside the Arrow batch, so the only
     parallelism knob is the file count — exactly the Common-Crawl
-    layout's contract.  html carries the HTTP response body bytes."""
+    layout's contract.  html carries the HTTP response body bytes.
+
+    ``corrupt``: ``"fail"`` (default, strict — a bad byte fails the
+    task) or ``"skip"`` — keep every record parsed before the first
+    bad byte of a file and drop the rest of THAT file only; at crawl
+    scale some files WILL be truncated and one of them must not kill
+    a 100 TB ingest (the fuzz gate pins that parse errors are always
+    ValueError, so "skip" can't mask a programming bug)."""
+    if corrupt not in ("fail", "skip"):
+        raise ValueError(f"corrupt must be 'fail' or 'skip', got {corrupt!r}")
     import pandas as pd
     from pyspark.sql.types import (
         BinaryType,
@@ -191,7 +200,16 @@ def read_warc(spark, path: str):
         rows = []
         for pdf in batches:
             for content in pdf["content"]:
-                for row in iter_warc(bytes(content)):
+                it = iter_warc(bytes(content))
+                while True:
+                    try:
+                        row = next(it)
+                    except StopIteration:
+                        break
+                    except ValueError:
+                        if corrupt == "fail":
+                            raise
+                        break  # rest of this file; prior records kept
                     rows.append(row)
                     if len(rows) >= CHUNK_ROWS:
                         yield pd.DataFrame(

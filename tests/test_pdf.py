@@ -197,3 +197,30 @@ def test_pdf_non_octal_backslash_escapes():
         + b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
     )
     assert extract_pdf_text(pdf) == ["a8b9cA"]
+
+
+def test_pdf_fuzz_exception_contract():
+    """Random byte flips + every truncation band on a real fixture
+    payload: extract_pdf_text raises ONLY ValueError or
+    NotImplementedError (or succeeds) — the status-row layer
+    (pdf_text_row) catches exactly those, so any other exception type
+    would fail a whole Spark stage."""
+    import random
+
+    from rex_spark.operators.pdftext import make_pdf_payload
+
+    r = random.Random(11)
+    pay = bytearray(make_pdf_payload(0))
+    for _ in range(500):
+        b = bytearray(pay)
+        for _ in range(r.randint(1, 4)):
+            b[r.randrange(len(b))] = r.randrange(256)
+        try:
+            extract_pdf_text(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+    for n in range(0, len(pay), 17):
+        try:
+            extract_pdf_text(bytes(pay[:n]))
+        except (ValueError, NotImplementedError):
+            pass

@@ -182,3 +182,44 @@ def test_stream_warc_pages_incremental_drains(spark, tmp_path):
     s = streamed.select("url", "subj", "pred", "obj")
     b = batch.select("url", "subj", "pred", "obj")
     assert s.exceptAll(b).count() == 0 and b.exceptAll(s).count() == 0
+
+
+def test_warc_fuzz_exception_contract():
+    """Random byte flips + every truncation band: parse_warc raises
+    ONLY ValueError (or succeeds) — never IndexError/KeyError/
+    zlib.error/UnicodeDecodeError, which would fail a Spark stage in a
+    way 'corrupt=skip' cannot tolerate."""
+    import random
+
+    r = random.Random(7)
+    pay = bytearray(encode_warc_gz(_recs(8)))
+    for _ in range(500):
+        b = bytearray(pay)
+        for _ in range(r.randint(1, 4)):
+            b[r.randrange(len(b))] = r.randrange(256)
+        try:
+            parse_warc(bytes(b))
+        except ValueError:
+            pass
+    for n in range(0, len(pay), 31):
+        try:
+            parse_warc(bytes(pay[:n]))
+        except ValueError:
+            pass
+
+
+def test_read_warc_corrupt_skip_keeps_good_files(spark, tmp_path):
+    """corrupt='skip': a truncated crawl file contributes the records
+    before the bad byte; other files are untouched; default 'fail'
+    raises."""
+    recs = _recs(20)
+    good = encode_warc_gz(recs[:10])
+    bad = encode_warc_gz(recs[10:])[:-40]  # truncate the last member
+    (tmp_path / "good.warc.gz").write_bytes(good)
+    (tmp_path / "bad.warc.gz").write_bytes(bad)
+    got = {r["url"] for r in
+           read_warc(spark, str(tmp_path), corrupt="skip").collect()}
+    assert {u for u, _, _ in recs[:10]} <= got
+    assert len(got) < 20  # the truncated tail records are gone
+    with pytest.raises(Exception):
+        read_warc(spark, str(tmp_path)).collect()  # strict default
