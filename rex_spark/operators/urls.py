@@ -23,6 +23,7 @@ the web-corpus plane per the builder's brief.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -43,6 +44,61 @@ def url_parts(url: Column | str) -> dict[str, Column]:
         "path": path,
         "query": query,
     }
+
+
+def robots_allowed_kernel(robots_txt: str | None, agent: str, url: str) -> bool:
+    """Scalar robots.txt decision (stdlib urllib.robotparser): no
+    robots file -> allowed (the crawl convention)."""
+    if robots_txt is None:
+        return True
+    from urllib.robotparser import RobotFileParser
+
+    rp = RobotFileParser()
+    rp.parse(robots_txt.splitlines())
+    return rp.can_fetch(agent, url)
+
+
+def filter_robots(pages, robots, agent: str = "rex-spark"):
+    """Politeness filter: drop pages a host's robots.txt disallows.
+
+    ``robots`` is the (small) per-host table ``(host, robots_txt)`` —
+    broadcast-joined, never shuffled; the decision runs in an
+    Arrow-batched pandas UDF with one parsed RobotFileParser per
+    DISTINCT robots_txt per batch (hosts repeat heavily in a crawl
+    batch, so parsing is amortized ~free).  Hosts with no robots row
+    are allowed (the crawl convention).  Arbitrary page columns pass
+    through untouched."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def allowed(robots_txt: pd.Series, url: pd.Series) -> pd.Series:
+        from urllib.robotparser import RobotFileParser
+
+        parsers: dict = {}
+
+        def decide(txt, u):
+            if txt is None or (isinstance(txt, float) and pd.isna(txt)):
+                return True
+            rp = parsers.get(txt)
+            if rp is None:
+                rp = RobotFileParser()
+                rp.parse(txt.splitlines())
+                parsers[txt] = rp
+            return rp.can_fetch(agent, u)
+
+        return pd.Series(
+            [decide(t, u) for t, u in zip(robots_txt, url)], dtype=bool
+        )
+
+    host = url_parts("url")["host"].alias("__host")
+    joined = pages.withColumn("__host", host).join(
+        F.broadcast(robots.withColumnRenamed("host", "__host")),
+        on="__host", how="left",
+    )
+    return (
+        joined.filter(allowed(F.col("robots_txt"), F.col("url")))
+        .drop("__host", "robots_txt")
+    )
 
 
 def canonical_url(url: Column | str) -> Column:

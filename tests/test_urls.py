@@ -42,3 +42,56 @@ def test_canonical_url_plan_is_jvm_only(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_filter_robots(spark):
+    """Per-host robots.txt politeness: agent-specific rules beat the
+    wildcard group, missing robots row -> allowed, disallowed paths
+    dropped; arbitrary page columns pass through."""
+    robots_a = (
+        "User-agent: rex-spark\nDisallow: /no-rex/\n\n"
+        "User-agent: *\nDisallow: /private/\n"
+    )
+    robots_b = "User-agent: *\nDisallow: /\n"
+    robots = spark.createDataFrame(
+        [("a.example.com", robots_a), ("b.example.com", robots_b)],
+        ["host", "robots_txt"],
+    )
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example.com/ok", 1),
+            ("http://a.example.com/no-rex/x", 2),       # agent rule
+            ("http://a.example.com/private/x", 3),      # would hit * only
+            ("http://b.example.com/anything", 4),       # blanket disallow
+            ("http://c.example.com/whatever", 5),       # no robots row
+        ],
+        ["url", "payload_col"],
+    )
+    from rex_spark.operators.urls import filter_robots
+
+    kept = {r["url"]: r["payload_col"]
+            for r in filter_robots(pages, robots).collect()}
+    # agent-specific group applies to rex-spark: /no-rex blocked,
+    # /private NOT blocked (the * group is ignored once the UA matched)
+    assert set(kept) == {
+        "http://a.example.com/ok",
+        "http://a.example.com/private/x",
+        "http://c.example.com/whatever",
+    }
+    assert kept["http://a.example.com/ok"] == 1
+
+
+def test_robots_kernel_matches_stdlib_semantics():
+    """The operator's contract is STDLIB urllib.robotparser semantics:
+    first matching rule in file order wins (NOT Google-REP
+    longest-match — an Allow listed after a broader Disallow loses)."""
+    from rex_spark.operators.urls import robots_allowed_kernel as k
+
+    txt = "User-agent: *\nAllow: /priv/open\nDisallow: /priv\n"
+    assert k(txt, "anybot", "http://h/x")
+    assert not k(txt, "anybot", "http://h/priv/secret")
+    assert k(txt, "anybot", "http://h/priv/open/doc")
+    # order flipped: stdlib's first-match rule disallows the open path
+    flipped = "User-agent: *\nDisallow: /priv\nAllow: /priv/open\n"
+    assert not k(flipped, "anybot", "http://h/priv/open/doc")
+    assert k(None, "anybot", "http://h/anything")  # no robots -> allowed
