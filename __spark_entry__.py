@@ -2072,6 +2072,58 @@ def _oracle_parts() -> dict[str, str]:
             FROM documents
         """,
         "fingerprints": f"SELECT doc_id, md5({_NORM}) AS fp_md5 FROM documents",
+        # pure-SQL oracle (no materialized gold): url spellings are
+        # synthesized from doc_id by the SAME expression as the Spark
+        # query, and the part regexes mirror operators/urls.url_parts
+        "url_canon": """
+            WITH u AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INT)
+                  WHEN 0 THEN 'HTTP://Site' || CAST(doc_id % 50 AS VARCHAR)
+                    || '.Example.COM:80/Path/' || CAST(doc_id AS VARCHAR)
+                    || '?b=2&a=1#frag'
+                  WHEN 1 THEN 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+                    || '.example.com/' || CAST(doc_id AS VARCHAR)
+                  WHEN 2 THEN 'HTTPS://SITE' || CAST(doc_id % 50 AS VARCHAR)
+                    || '.Example.com:8443/x/' || CAST(doc_id AS VARCHAR)
+                    || '?z=9&y=8&x=7'
+                  ELSE 'http://site' || CAST(doc_id % 50 AS VARCHAR)
+                    || '.example.com:8080/p?q=' || CAST(doc_id AS VARCHAR)
+                END AS url
+              FROM documents
+            ), hp AS (
+              SELECT doc_id, url,
+                regexp_extract(regexp_extract(url,
+                  '^[^:]+://([^/?#]*)', 1), '^(?:[^@]*@)?(.*)$', 1)
+                  AS hostport
+              FROM u
+            ), p AS (
+              SELECT doc_id, url,
+                lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme,
+                lower(regexp_extract(hostport,
+                  '^(\\[[^\\]]*\\]|[^:]*)', 1)) AS host,
+                regexp_extract(hostport,
+                  '^(?:\\[[^\\]]*\\]|[^:]*):([0-9]+)$', 1) AS port,
+                regexp_extract(url,
+                  '^[^:]+://[^/?#]*([^?#]*)', 1) AS path,
+                regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query
+              FROM hp
+            )
+            SELECT doc_id, url AS raw_url,
+              scheme || '://' || host
+              || CASE WHEN port = ''
+                        OR (scheme = 'http' AND port = '80')
+                        OR (scheme = 'https' AND port = '443')
+                      THEN '' ELSE ':' || port END
+              || CASE WHEN path = '' THEN '/' ELSE path END
+              || CASE WHEN query = '' THEN ''
+                      ELSE '?' || array_to_string(
+                        list_sort(string_split(query, '&')), '&') END
+              AS canon_url,
+              host
+            FROM p
+        """,
         **_materialized_gold_oracles(),
     }
 
@@ -2256,49 +2308,6 @@ def _materialized_gold_oracles() -> dict[str, str]:
         "warc_pages": f"""
             SELECT url, warc_ts, n_bytes, html_md5
             FROM read_parquet('{warcg["warc_pages"]}')
-        """,
-        "url_canon": """
-            WITH u AS (
-              SELECT doc_id,
-                CASE CAST(doc_id % 4 AS INT)
-                  WHEN 0 THEN 'HTTP://Site' || CAST(doc_id % 50 AS VARCHAR)
-                    || '.Example.COM:80/Path/' || CAST(doc_id AS VARCHAR)
-                    || '?b=2&a=1#frag'
-                  WHEN 1 THEN 'https://site' || CAST(doc_id % 50 AS VARCHAR)
-                    || '.example.com/' || CAST(doc_id AS VARCHAR)
-                  WHEN 2 THEN 'HTTPS://SITE' || CAST(doc_id % 50 AS VARCHAR)
-                    || '.Example.com:8443/x/' || CAST(doc_id AS VARCHAR)
-                    || '?z=9&y=8&x=7'
-                  ELSE 'http://site' || CAST(doc_id % 50 AS VARCHAR)
-                    || '.example.com:8080/p?q=' || CAST(doc_id AS VARCHAR)
-                END AS url
-              FROM documents
-            ), p AS (
-              SELECT doc_id, url,
-                lower(regexp_extract(url,
-                  '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme,
-                lower(regexp_extract(regexp_extract(url,
-                  '^[^:]+://([^/?#]*)', 1), '^([^:]*)', 1)) AS host,
-                regexp_extract(regexp_extract(url,
-                  '^[^:]+://([^/?#]*)', 1), ':([0-9]+)$', 1) AS port,
-                regexp_extract(url,
-                  '^[^:]+://[^/?#]*([^?#]*)', 1) AS path,
-                regexp_extract(url, '\\?([^#]*)', 1) AS query
-              FROM u
-            )
-            SELECT doc_id, url AS raw_url,
-              scheme || '://' || host
-              || CASE WHEN port = ''
-                        OR (scheme = 'http' AND port = '80')
-                        OR (scheme = 'https' AND port = '443')
-                      THEN '' ELSE ':' || port END
-              || CASE WHEN path = '' THEN '/' ELSE path END
-              || CASE WHEN query = '' THEN ''
-                      ELSE '?' || array_to_string(
-                        list_sort(string_split(query, '&')), '&') END
-              AS canon_url,
-              host
-            FROM p
         """,
         "asset_stats": f"""
             SELECT kind, count(*) AS n_assets,

@@ -116,6 +116,11 @@ def _split_records(chunks: Iterator[bytes]) -> Iterator[tuple[dict, bytes]]:
                 length = int(headers["content-length"])
             except (KeyError, ValueError) as exc:
                 raise ValueError("WARC record missing Content-Length") from exc
+            if length < 0:
+                # a corrupt negative length would otherwise slice an
+                # empty body, delete nothing from the buffer and loop
+                # forever yielding the same record
+                raise ValueError(f"negative WARC Content-Length {length}")
             body_start = head_end + len(_CRLF2)
             if body_start + length > len(buf):
                 break  # body not complete yet; wait for more chunks

@@ -29,14 +29,25 @@ from pyspark.sql import functions as F
 
 
 def url_parts(url: Column | str) -> dict[str, Column]:
-    """Decomposed pieces of a URL column (each a Column)."""
+    """Decomposed pieces of a URL column (each a Column).
+
+    Handles userinfo (``user:pw@host`` — stripped) and bracketed IPv6
+    authorities (``[2001:db8::1]:8080`` — the bracket form is the
+    host, the port follows the bracket); the query is matched only
+    BEFORE the fragment, so a '?' inside a hash-routing fragment
+    (``/#/page?x=1``) never leaks into the query."""
     url = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
     authority = F.regexp_extract(url, r"^[^:]+://([^/?#]*)", 1)
-    host = F.lower(F.regexp_extract(authority, r"^([^:]*)", 1))
-    port = F.regexp_extract(authority, r":([0-9]+)$", 1)
+    hostport = F.regexp_extract(authority, r"^(?:[^@]*@)?(.*)$", 1)
+    host = F.lower(
+        F.regexp_extract(hostport, r"^(\[[^\]]*\]|[^:]*)", 1)
+    )
+    port = F.regexp_extract(
+        hostport, r"^(?:\[[^\]]*\]|[^:]*):([0-9]+)$", 1
+    )
     path = F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    query = F.regexp_extract(url, r"^[^#]*?\?([^#]*)", 1)
     return {
         "scheme": scheme,
         "host": host,
@@ -46,16 +57,23 @@ def url_parts(url: Column | str) -> dict[str, Column]:
     }
 
 
-def robots_allowed_kernel(robots_txt: str | None, agent: str, url: str) -> bool:
-    """Scalar robots.txt decision (stdlib urllib.robotparser): no
-    robots file -> allowed (the crawl convention)."""
-    if robots_txt is None:
-        return True
+def _robots_parser(robots_txt: str):
+    """One parsed stdlib RobotFileParser — THE robots semantics for
+    both the scalar kernel and the distributed UDF (lockstep by
+    construction and pinned by test)."""
     from urllib.robotparser import RobotFileParser
 
     rp = RobotFileParser()
     rp.parse(robots_txt.splitlines())
-    return rp.can_fetch(agent, url)
+    return rp
+
+
+def robots_allowed_kernel(robots_txt: str | None, agent: str, url: str) -> bool:
+    """Scalar robots.txt decision: no robots file -> allowed (the
+    crawl convention)."""
+    if robots_txt is None:
+        return True
+    return _robots_parser(robots_txt).can_fetch(agent, url)
 
 
 def filter_robots(pages, robots, agent: str = "rex-spark"):
@@ -72,8 +90,6 @@ def filter_robots(pages, robots, agent: str = "rex-spark"):
 
     @pandas_udf("boolean")
     def allowed(robots_txt: pd.Series, url: pd.Series) -> pd.Series:
-        from urllib.robotparser import RobotFileParser
-
         parsers: dict = {}
 
         def decide(txt, u):
@@ -81,19 +97,22 @@ def filter_robots(pages, robots, agent: str = "rex-spark"):
                 return True
             rp = parsers.get(txt)
             if rp is None:
-                rp = RobotFileParser()
-                rp.parse(txt.splitlines())
-                parsers[txt] = rp
+                rp = parsers[txt] = _robots_parser(txt)
             return rp.can_fetch(agent, u)
 
         return pd.Series(
             [decide(t, u) for t, u in zip(robots_txt, url)], dtype=bool
         )
 
+    # page host is lowercased by url_parts — lower the robots side too
+    # or a mixed-case robots row silently never matches (its disallow
+    # rules would be bypassed without any error)
     host = url_parts("url")["host"].alias("__host")
+    robots_lc = robots.select(
+        F.lower(F.col("host")).alias("__host"), "robots_txt"
+    )
     joined = pages.withColumn("__host", host).join(
-        F.broadcast(robots.withColumnRenamed("host", "__host")),
-        on="__host", how="left",
+        F.broadcast(robots_lc), on="__host", how="left",
     )
     return (
         joined.filter(allowed(F.col("robots_txt"), F.col("url")))

@@ -95,3 +95,54 @@ def test_robots_kernel_matches_stdlib_semantics():
     flipped = "User-agent: *\nDisallow: /priv\nAllow: /priv/open\n"
     assert not k(flipped, "anybot", "http://h/priv/open/doc")
     assert k(None, "anybot", "http://h/anything")  # no robots -> allowed
+
+
+def test_canonical_url_fragment_ipv6_userinfo_vectors(spark):
+    """Review-fix vectors: a '?' inside a hash-routing fragment must
+    NOT leak into the query; bracketed IPv6 hosts keep their colons;
+    userinfo is stripped from the host key."""
+    cases = [
+        ("http://site.example/#/page?x=1", "http://site.example/"),
+        ("http://site.example/#/a?x=1", "http://site.example/"),
+        ("http://[2001:db8::1]:8080/a", "http://[2001:db8::1]:8080/a"),
+        ("HTTPS://[2001:DB8::2]:443/b", "https://[2001:db8::2]/b"),
+        ("http://user:pw@Host.Example/x", "http://host.example/x"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], ["url"])
+    got = [r["c"] for r in
+           df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [c for _, c in cases]
+    # two SPA spellings of the same page share one dedup key
+    assert got[0] == got[1]
+
+
+def test_robots_host_join_is_case_insensitive(spark):
+    """A mixed-case robots host row must still match (its rules were
+    silently bypassed before the lowercased join)."""
+    from rex_spark.operators.urls import filter_robots
+
+    robots = spark.createDataFrame(
+        [("A.Example.com", "User-agent: *\nDisallow: /")],
+        ["host", "robots_txt"],
+    )
+    pages = spark.createDataFrame(
+        [("http://A.Example.com/x", 1), ("http://other.example/y", 2)],
+        ["url", "v"],
+    )
+    kept = [r["url"] for r in filter_robots(pages, robots).collect()]
+    assert kept == ["http://other.example/y"]
+
+
+def test_robots_udf_matches_scalar_kernel(spark):
+    """Lockstep: the distributed UDF decision equals
+    robots_allowed_kernel row for row (shared _robots_parser)."""
+    from rex_spark.operators.urls import filter_robots, robots_allowed_kernel
+
+    txt = "User-agent: *\nDisallow: /private/\n"
+    robots = spark.createDataFrame([("h.example", txt)], ["host", "robots_txt"])
+    urls = [f"http://h.example/{p}/{i}" for i in range(6)
+            for p in ("ok", "private")]
+    pages = spark.createDataFrame([(u, 0) for u in urls], ["url", "v"])
+    kept = {r["url"] for r in filter_robots(pages, robots).collect()}
+    for u in urls:
+        assert (u in kept) == robots_allowed_kernel(txt, "rex-spark", u)

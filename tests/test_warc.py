@@ -223,3 +223,16 @@ def test_read_warc_corrupt_skip_keeps_good_files(spark, tmp_path):
     assert len(got) < 20  # the truncated tail records are gone
     with pytest.raises(Exception):
         read_warc(spark, str(tmp_path)).collect()  # strict default
+
+
+def test_warc_negative_content_length_is_corrupt_not_infinite():
+    """A one-byte corruption producing a negative Content-Length must
+    raise ValueError, not loop forever yielding the same record."""
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x/1\r\n"
+        b"WARC-Date: 2024-01-02T03:04:05Z\r\n"
+        b"Content-Length: -9999\r\n\r\nbody\r\n\r\n"
+    )
+    with pytest.raises(ValueError):
+        parse_warc(rec)
