@@ -146,3 +146,56 @@ def test_robots_udf_matches_scalar_kernel(spark):
     kept = {r["url"] for r in filter_robots(pages, robots).collect()}
     for u in urls:
         assert (u in kept) == robots_allowed_kernel(txt, "rex-spark", u)
+
+
+def test_canonical_url_property_random_spellings(spark):
+    """Property over randomized spellings: for any (host, port, path,
+    params, fragment) combo, every spelling variant — case-shuffled
+    scheme/host, explicit default port, permuted params, with/without
+    fragment — canonicalizes to ONE key, and canonical_url is
+    idempotent on it.  Driven as one Spark job over all generated
+    rows (keeps the property on the real JVM regex engine)."""
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    expected = []
+    for case in range(60):
+        scheme = rng.choice(["http", "https"])
+        host = f"h{case}.example.com"
+        port = rng.choice(["", "8080", "80" if scheme == "http" else "443"])
+        path = rng.choice(["", "/", "/A/b", f"/p/{case}"])
+        params = [f"k{j}={rng.randrange(10)}" for j in range(rng.randrange(4))]
+        default = (scheme == "http" and port == "80") or (
+            scheme == "https" and port == "443"
+        )
+        canon = (
+            scheme + "://" + host
+            + ("" if port == "" or default else ":" + port)
+            + (path if path else "/")
+            + ("?" + "&".join(sorted(params)) if params else "")
+        )
+        for _v in range(3):  # three independent spellings per case
+            s = "".join(
+                c.upper() if rng.random() < 0.5 else c for c in scheme
+            )
+            h = "".join(
+                c.upper() if rng.random() < 0.5 else c for c in host
+            )
+            pp = list(params)
+            rng.shuffle(pp)
+            spelled = (
+                s + "://" + h + (":" + port if port else "") + path
+                + ("?" + "&".join(pp) if pp else "")
+                + (rng.random() < 0.5) * "#frag/ment?x=9"
+            )
+            rows.append((spelled,))
+            expected.append(canon)
+    df = spark.createDataFrame(rows, ["url"])
+    got = [r["c"] for r in
+           df.select(canonical_url("url").alias("c")).collect()]
+    assert got == expected
+    df2 = spark.createDataFrame([(c,) for c in expected], ["url"])
+    again = [r["c"] for r in
+             df2.select(canonical_url("url").alias("c")).collect()]
+    assert again == expected  # idempotent
